@@ -1,0 +1,177 @@
+"""Multi-period and multi-scale discriminators, TPU-native.
+
+Parity with reference src/models.py:128-248:
+- DiscriminatorP (:128): reflect-pad the waveform to a multiple of the
+  period, reshape (B, T) -> (B, T/p, p, 1) [NHWC], 5x (5,1)-kernel
+  (3,1)-stride conv2d stack 1->32->128->512->1024->1024, conv_post (3,1)->1;
+  returns flattened logits + per-layer feature maps.
+- MultiPeriodDiscriminator (:164): periods (2, 3, 5, 7, 11).
+- DiscriminatorS (:191): 7 grouped conv1d stages + conv_post.
+- MultiScaleDiscriminator (:219): 3 scales, AvgPool1d(4, 2, pad=2) between,
+  spectral norm on scale 0 (:223).
+
+Layout: waveforms are (B, T) here (the reference carries (B, 1, T)); the
+channel axis is materialised channels-last internally. Feature maps are
+returned channels-last — loss functions are layout-agnostic (elementwise).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hifigan_tpu.models.layers import NormConv1d, NormConv2d
+from hifigan_tpu.ops.conv import LRELU_SLOPE, avg_pool1d, leaky_relu
+
+
+class DiscriminatorP(nn.Module):
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+    use_spectral_norm: bool = False
+    precision: Any = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, update_spectral: bool = False
+    ) -> tuple[jax.Array, list[jax.Array]]:
+        norm = "spectral" if self.use_spectral_norm else "weight"
+        b, t = x.shape
+        if t % self.period != 0:
+            n_pad = self.period - (t % self.period)
+            x = jnp.pad(x, ((0, 0), (0, n_pad)), mode="reflect")
+            t = t + n_pad
+        x = x.reshape(b, t // self.period, self.period, 1)  # NHWC
+
+        fmap = []
+        channels = (32, 128, 512, 1024)
+        for i, ch in enumerate(channels):
+            x = NormConv2d(
+                features=ch,
+                kernel_size=(self.kernel_size, 1),
+                stride=(self.stride, 1),
+                padding=(2, 0),  # get_padding(5, 1) == 2 (ref src/models.py:134)
+                norm=norm,
+                precision=self.precision,
+                name=f"convs_{i}",
+            )(x, update_spectral)
+            x = leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = NormConv2d(
+            features=1024,
+            kernel_size=(self.kernel_size, 1),
+            stride=(1, 1),
+            padding=(2, 0),
+            norm=norm,
+            precision=self.precision,
+            name="convs_4",
+        )(x, update_spectral)
+        x = leaky_relu(x, LRELU_SLOPE)
+        fmap.append(x)
+        x = NormConv2d(
+            features=1,
+            kernel_size=(3, 1),
+            stride=(1, 1),
+            padding=(1, 0),
+            norm=norm,
+            precision=self.precision,
+            name="conv_post",
+        )(x, update_spectral)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class DiscriminatorS(nn.Module):
+    use_spectral_norm: bool = False
+    precision: Any = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, update_spectral: bool = False
+    ) -> tuple[jax.Array, list[jax.Array]]:
+        norm = "spectral" if self.use_spectral_norm else "weight"
+        b = x.shape[0]
+        x = x[..., None]  # (B, T, 1)
+        # (features, kernel, stride, groups, padding) — ref src/models.py:195-203
+        specs = [
+            (128, 15, 1, 1, 7),
+            (128, 41, 2, 4, 20),
+            (256, 41, 2, 16, 20),
+            (512, 41, 4, 16, 20),
+            (1024, 41, 4, 16, 20),
+            (1024, 41, 1, 16, 20),
+            (1024, 5, 1, 1, 2),
+        ]
+        fmap = []
+        for i, (ch, k, s, g, p) in enumerate(specs):
+            x = NormConv1d(
+                features=ch,
+                kernel_size=k,
+                stride=s,
+                groups=g,
+                padding=p,
+                norm=norm,
+                precision=self.precision,
+                name=f"convs_{i}",
+            )(x, update_spectral)
+            x = leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = NormConv1d(
+            features=1,
+            kernel_size=3,
+            padding=1,
+            norm=norm,
+            precision=self.precision,
+            name="conv_post",
+        )(x, update_spectral)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+    precision: Any = None
+
+    @nn.compact
+    def __call__(
+        self, y: jax.Array, y_hat: jax.Array, update_spectral: bool = False
+    ) -> tuple[list, list, list, list]:
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for i, p in enumerate(self.periods):
+            d = DiscriminatorP(period=p, precision=self.precision, name=f"discriminators_{i}")
+            y_d_r, fmap_r = d(y, update_spectral)
+            y_d_g, fmap_g = d(y_hat, update_spectral)
+            y_d_rs.append(y_d_r)
+            fmap_rs.append(fmap_r)
+            y_d_gs.append(y_d_g)
+            fmap_gs.append(fmap_g)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+class MultiScaleDiscriminator(nn.Module):
+    precision: Any = None
+
+    @nn.compact
+    def __call__(
+        self, y: jax.Array, y_hat: jax.Array, update_spectral: bool = False
+    ) -> tuple[list, list, list, list]:
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for i in range(3):
+            if i != 0:
+                y = avg_pool1d(y[..., None], 4, 2, padding=2)[..., 0]
+                y_hat = avg_pool1d(y_hat[..., None], 4, 2, padding=2)[..., 0]
+            d = DiscriminatorS(
+                use_spectral_norm=(i == 0),
+                precision=self.precision,
+                name=f"discriminators_{i}",
+            )
+            y_d_r, fmap_r = d(y, update_spectral)
+            y_d_g, fmap_g = d(y_hat, update_spectral)
+            y_d_rs.append(y_d_r)
+            fmap_rs.append(fmap_r)
+            y_d_gs.append(y_d_g)
+            fmap_gs.append(fmap_g)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs

@@ -1,0 +1,279 @@
+"""Normed convolution modules (flax.linen), NWC/NHWC layouts.
+
+Weight norm is a parameter reparameterisation w = g * v / ||v|| (params 'v',
+'g'), replacing torch's `weight_norm` wrapper (reference src/models.py:4-5);
+:func:`fold_weight_norm` is the functional equivalent of the reference's
+`remove_weight_norm` inference-time folding (src/models.py:118-125) — it maps
+a params pytree with {'v','g'} leaves to one with folded {'kernel'} leaves,
+to be applied with ``norm='none'`` modules.
+
+Init semantics: torch wraps convs with weight_norm at construction, so g/v
+are captured from the *default kaiming-uniform* init; the reference's
+`init_weights` N(0, 0.01) (src/utils.py:66) writes to the hook-recomputed
+`.weight` tensor and is therefore a no-op for weight-normed convs — we
+faithfully reproduce the effective behaviour (kaiming-uniform v, g = ||v||).
+
+Spectral norm follows torch.nn.utils.spectral_norm (dim=0, one power
+iteration per training step, eps=1e-12); the `u` vector lives in the
+'spectral' variable collection and is updated only when that collection is
+mutable. Used by MSD scale 0 / DiscriminatorP(use_spectral_norm=True)
+(reference src/models.py:132,194,223).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hifigan_tpu.ops.conv import (
+    conv1d,
+    conv2d,
+    conv_transpose1d,
+    weight_norm_kernel,
+)
+
+
+def _kaiming_uniform_conv(fan_in: int):
+    """torch default conv weight init: kaiming_uniform(a=sqrt(5))."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = math.sqrt(1.0 / fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _torch_bias_init(fan_in: int):
+    def init(key, shape, dtype=jnp.float32):
+        bound = math.sqrt(1.0 / fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    return x / (jnp.linalg.norm(x) + eps)
+
+
+class _NormConvBase(nn.Module):
+    """Shared param/norm machinery for the conv variants below."""
+
+    norm: str = "weight"  # 'weight' | 'spectral' | 'none'
+    dtype: Any = None  # compute dtype; None -> follow input dtype
+
+    def _cast(self, x, kernel, bias):
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        bias = bias.astype(dtype) if bias is not None else None
+        return x, kernel, bias
+
+    def _kernel(
+        self,
+        shape: Sequence[int],
+        fan_in: int,
+        wn_axes: tuple[int, ...],
+        out_axis: int,
+        update_spectral: bool,
+    ) -> jax.Array:
+        init = _kaiming_uniform_conv(fan_in)
+        if self.norm == "none":
+            return self.param("kernel", init, tuple(shape))
+        if self.norm == "weight":
+            v = self.param("v", init, tuple(shape))
+            g = self.param(
+                "g",
+                lambda _rng, _shape: jnp.sqrt(
+                    jnp.sum(jnp.square(v), axis=wn_axes)
+                ).reshape(_shape),
+                (shape[out_axis],),
+            )
+            return weight_norm_kernel(v, g, wn_axes)
+        if self.norm == "spectral":
+            w = self.param("kernel", init, tuple(shape))
+            out_ch = shape[out_axis]
+            # Matricise as (out, rest) like torch's dim=0 reshape.
+            w_mat = jnp.moveaxis(w, out_axis, 0).reshape(out_ch, -1)
+            u_var = self.variable(
+                "spectral",
+                "u",
+                lambda: _l2_normalize(
+                    jax.random.normal(self.make_rng("params"), (out_ch,))
+                ),
+            )
+            u = u_var.value
+            v = _l2_normalize(w_mat.T @ u)
+            u_new = _l2_normalize(w_mat @ v)
+            if update_spectral and not self.is_initializing():
+                u_var.value = jax.lax.stop_gradient(u_new)
+            sigma = jnp.dot(jax.lax.stop_gradient(u_new), w_mat @ jax.lax.stop_gradient(v))
+            return w / sigma
+        raise ValueError(f"unknown norm: {self.norm}")
+
+
+class NormConv1d(_NormConvBase):
+    """Conv1d over (N, W, C). torch-exact integer padding semantics."""
+
+    features: int = 0
+    kernel_size: int = 1
+    stride: int = 1
+    padding: int | tuple[int, int] = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, update_spectral: bool = False) -> jax.Array:
+        in_ch = x.shape[-1]
+        fan_in = (in_ch // self.groups) * self.kernel_size
+        kernel = self._kernel(
+            (self.kernel_size, in_ch // self.groups, self.features),
+            fan_in,
+            wn_axes=(0, 1),
+            out_axis=2,
+            update_spectral=update_spectral,
+        )
+        bias = (
+            self.param("bias", _torch_bias_init(fan_in), (self.features,))
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = self._cast(x, kernel, bias)
+        return conv1d(
+            x,
+            kernel,
+            bias,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            groups=self.groups,
+            precision=self.precision,
+        )
+
+
+class NormConvTranspose1d(_NormConvBase):
+    """ConvTranspose1d over (N, W, C), torch-exact.
+
+    Kernel stored (K, I, O); weight norm normalises per *input* channel
+    (torch weight_norm(dim=0) on (I, O, K) weights) -> axes (0, 2).
+    """
+
+    features: int = 0
+    kernel_size: int = 1
+    stride: int = 1
+    padding: int = 0
+    output_padding: int = 0
+    use_bias: bool = True
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, update_spectral: bool = False) -> jax.Array:
+        in_ch = x.shape[-1]
+        # torch _calculate_fan_in on (I, O, K) weights -> O * K (groups=1)
+        fan_in = self.features * self.kernel_size
+        kernel = self._kernel(
+            (self.kernel_size, in_ch, self.features),
+            fan_in,
+            wn_axes=(0, 2),
+            out_axis=1,
+            update_spectral=update_spectral,
+        )
+        bias = (
+            self.param("bias", _torch_bias_init(fan_in), (self.features,))
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = self._cast(x, kernel, bias)
+        return conv_transpose1d(
+            x,
+            kernel,
+            bias,
+            stride=self.stride,
+            padding=self.padding,
+            output_padding=self.output_padding,
+            precision=self.precision,
+        )
+
+
+class NormConv2d(_NormConvBase):
+    """Conv2d over (N, H, W, C), torch-exact integer padding semantics."""
+
+    features: int = 0
+    kernel_size: tuple[int, int] = (1, 1)
+    stride: tuple[int, int] = (1, 1)
+    padding: tuple[int, int] = (0, 0)
+    dilation: tuple[int, int] = (1, 1)
+    groups: int = 1
+    use_bias: bool = True
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, update_spectral: bool = False) -> jax.Array:
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        fan_in = (in_ch // self.groups) * kh * kw
+        kernel = self._kernel(
+            (kh, kw, in_ch // self.groups, self.features),
+            fan_in,
+            wn_axes=(0, 1, 2),
+            out_axis=3,
+            update_spectral=update_spectral,
+        )
+        bias = (
+            self.param("bias", _torch_bias_init(fan_in), (self.features,))
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = self._cast(x, kernel, bias)
+        return conv2d(
+            x,
+            kernel,
+            bias,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            groups=self.groups,
+            precision=self.precision,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Weight-norm folding (reference remove_weight_norm, src/models.py:118-125)
+# ---------------------------------------------------------------------------
+
+
+def _fold_tree(tree: Any, path: tuple[str, ...] = ()) -> Any:
+    if isinstance(tree, dict):
+        keys = set(tree.keys())
+        if "v" in keys and "g" in keys:
+            v, g = tree["v"], tree["g"]
+            # Transposed-conv kernels normalise per input channel (axis 1);
+            # forward convs per output channel (last axis). Distinguish by g size.
+            if v.ndim == 3 and v.shape[1] == g.shape[0] and v.shape[2] != g.shape[0]:
+                axes: tuple[int, ...] = (0, 2)
+            elif v.ndim == 4:
+                axes = (0, 1, 2)
+            else:
+                axes = tuple(range(v.ndim - 1))
+            folded = {"kernel": weight_norm_kernel(v, g, axes)}
+            for k in keys - {"v", "g"}:
+                folded[k] = tree[k]
+            return folded
+        return {k: _fold_tree(v, path + (k,)) for k, v in tree.items()}
+    return tree
+
+
+def fold_weight_norm(params: Any) -> Any:
+    """Fold {'v','g'} weight-norm params into plain {'kernel'} params.
+
+    Apply the model with ``norm='none'`` (e.g. ``Generator(h, folded=True)``)
+    afterwards. Ambiguity note: square transposed kernels (I == O) fold on
+    axes (0, 2) only when shapes disambiguate; the Generator's upsamplers
+    always halve channels (src/models.py:87) so the heuristic is exact there.
+    """
+    return _fold_tree(params)

@@ -1,0 +1,135 @@
+"""torch-equivalence tests for the conv primitives (NWC vs torch NCW)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_torch
+
+import jax.numpy as jnp
+
+from hifigan_tpu.ops.conv import (
+    avg_pool1d,
+    conv1d,
+    conv2d,
+    conv_transpose1d,
+    leaky_relu,
+    weight_norm_kernel,
+)
+
+
+@requires_torch
+@pytest.mark.parametrize(
+    "in_ch,out_ch,k,stride,dilation,groups,pad",
+    [
+        (8, 16, 3, 1, 1, 1, 1),
+        (16, 16, 7, 1, 3, 1, 9),
+        (8, 32, 41, 2, 1, 4, 20),
+        (32, 32, 41, 4, 1, 16, 20),
+        (80, 64, 7, 1, 1, 1, 3),
+    ],
+)
+def test_conv1d_matches_torch(rng, in_ch, out_ch, k, stride, dilation, groups, pad):
+    import torch
+
+    x = rng.standard_normal((2, in_ch, 64)).astype(np.float32)
+    w = rng.standard_normal((out_ch, in_ch // groups, k)).astype(np.float32)
+    b = rng.standard_normal((out_ch,)).astype(np.float32)
+
+    ref = torch.nn.functional.conv1d(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+        stride=stride, padding=pad, dilation=dilation, groups=groups,
+    ).numpy()
+
+    got = conv1d(
+        jnp.asarray(x.transpose(0, 2, 1)),
+        jnp.asarray(w.transpose(2, 1, 0)),
+        jnp.asarray(b),
+        stride=stride, padding=pad, dilation=dilation, groups=groups,
+    )
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), ref, atol=2e-5, rtol=1e-5)
+
+
+@requires_torch
+@pytest.mark.parametrize(
+    "in_ch,out_ch,k,stride",
+    [(16, 8, 16, 8), (16, 8, 4, 2), (32, 16, 16, 8), (8, 4, 8, 4)],
+)
+def test_conv_transpose1d_matches_torch(rng, in_ch, out_ch, k, stride):
+    import torch
+
+    pad = (k - stride) // 2
+    x = rng.standard_normal((2, in_ch, 32)).astype(np.float32)
+    w = rng.standard_normal((in_ch, out_ch, k)).astype(np.float32)
+    b = rng.standard_normal((out_ch,)).astype(np.float32)
+
+    ref = torch.nn.functional.conv_transpose1d(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+        stride=stride, padding=pad,
+    ).numpy()
+
+    got = conv_transpose1d(
+        jnp.asarray(x.transpose(0, 2, 1)),
+        jnp.asarray(w.transpose(2, 0, 1)),
+        jnp.asarray(b),
+        stride=stride, padding=pad,
+    )
+    assert got.shape[1] == ref.shape[2]
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), ref, atol=2e-5, rtol=1e-5)
+
+
+@requires_torch
+def test_conv2d_matches_torch(rng):
+    import torch
+
+    x = rng.standard_normal((2, 4, 32, 8)).astype(np.float32)  # NCHW
+    w = rng.standard_normal((16, 4, 5, 1)).astype(np.float32)
+    b = rng.standard_normal((16,)).astype(np.float32)
+
+    ref = torch.nn.functional.conv2d(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+        stride=(3, 1), padding=(2, 0),
+    ).numpy()
+
+    got = conv2d(
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(w.transpose(2, 3, 1, 0)),
+        jnp.asarray(b),
+        stride=(3, 1), padding=(2, 0),
+    )
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref, atol=2e-5, rtol=1e-5)
+
+
+@requires_torch
+def test_avg_pool1d_matches_torch(rng):
+    import torch
+
+    x = rng.standard_normal((2, 3, 64)).astype(np.float32)
+    ref = torch.nn.functional.avg_pool1d(torch.from_numpy(x), 4, 2, padding=2).numpy()
+    got = avg_pool1d(jnp.asarray(x.transpose(0, 2, 1)), 4, 2, padding=2)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), ref, atol=1e-6)
+
+
+@requires_torch
+def test_weight_norm_kernel_matches_torch(rng):
+    import torch
+
+    w = rng.standard_normal((16, 8, 3)).astype(np.float32)  # torch (O,I,K)
+    lin = torch.nn.Conv1d(8, 16, 3, bias=False)
+    lin.weight.data = torch.from_numpy(w.copy())
+    wn = torch.nn.utils.weight_norm(lin)
+    # Perturb g to a non-trivial value.
+    wn.weight_g.data.mul_(1.7)
+    ref_w = wn.weight_g.data.numpy().reshape(-1, 1, 1) * (
+        wn.weight_v.data.numpy()
+        / np.linalg.norm(wn.weight_v.data.numpy().reshape(16, -1), axis=1).reshape(-1, 1, 1)
+    )
+
+    v = jnp.asarray(w.transpose(2, 1, 0))  # (K,I,O)
+    g = jnp.asarray(wn.weight_g.data.numpy().reshape(-1))
+    got = weight_norm_kernel(v, g, axes=(0, 1))
+    np.testing.assert_allclose(np.asarray(got).transpose(2, 1, 0), ref_w, atol=1e-5, rtol=1e-5)
+
+
+def test_leaky_relu():
+    x = jnp.asarray([-2.0, 0.0, 3.0])
+    np.testing.assert_allclose(leaky_relu(x, 0.1), [-0.2, 0.0, 3.0])
