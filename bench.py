@@ -1,0 +1,73 @@
+"""Headline benchmark: V1 generator mel->wav real-time factor on one chip.
+
+Baseline (reference README.md:17-18, HiFi-GAN paper): 167.9x real-time on a
+V100 at 22.05 kHz. North star (BASELINE.json): >=500x per TPU v5e chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Method: folded-weight-norm V1 generator, bfloat16 compute (MXU path),
+batch 16 x 128 mel frames (= 524288 samples = 23.8 s of audio per call);
+3 warmup calls then the mean of 10 timed calls, device-synchronised.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from hifigan_tpu.config import get_config
+from hifigan_tpu.models import Generator, fold_weight_norm
+
+BASELINE_RTF = 167.9  # V100, reference README.md:17-18
+
+
+def main() -> None:
+    h = get_config("v1")
+    batch, frames = 16, 128
+    sr = h["sampling_rate"]
+
+    gen = Generator(h, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    mel = jax.random.normal(key, (batch, h["num_mels"], frames), jnp.float32) * 2.0 - 5.0
+    params = gen.init(key, mel)["params"]
+    folded_params = fold_weight_norm(params)
+    gen_folded = Generator(h, folded=True, dtype=jnp.bfloat16)
+
+    fn = jax.jit(lambda p, m: gen_folded.apply({"params": p}, m))
+
+    # Warmup (compile + steady state)
+    for _ in range(3):
+        out = fn(folded_params, mel)
+    out.block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(folded_params, mel)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    hop = 1
+    for u in h["upsample_rates"]:
+        hop *= u
+    total_samples = batch * frames * hop
+    audio_seconds = total_samples / sr
+    rtf = audio_seconds / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "v1_mel_to_wav_rtf_per_chip",
+                "value": round(rtf, 1),
+                "unit": "x_realtime_22k05",
+                "vs_baseline": round(rtf / BASELINE_RTF, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,7 @@ class DiscriminatorP(nn.Module):
     kernel_size: int = 5
     stride: int = 3
     use_spectral_norm: bool = False
+    channels: Sequence[int] = (32, 128, 512, 1024)  # reference widths
     precision: Any = None
 
     @nn.compact
@@ -47,8 +48,7 @@ class DiscriminatorP(nn.Module):
         x = x.reshape(b, t // self.period, self.period, 1)  # NHWC
 
         fmap = []
-        channels = (32, 128, 512, 1024)
-        for i, ch in enumerate(channels):
+        for i, ch in enumerate(self.channels):
             x = NormConv2d(
                 features=ch,
                 kernel_size=(self.kernel_size, 1),
@@ -61,7 +61,7 @@ class DiscriminatorP(nn.Module):
             x = leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
         x = NormConv2d(
-            features=1024,
+            features=self.channels[-1],
             kernel_size=(self.kernel_size, 1),
             stride=(1, 1),
             padding=(2, 0),
@@ -86,6 +86,7 @@ class DiscriminatorP(nn.Module):
 
 class DiscriminatorS(nn.Module):
     use_spectral_norm: bool = False
+    width: int = 128  # base width; reference stack is 128/128/256/512/1024...
     precision: Any = None
 
     @nn.compact
@@ -96,14 +97,15 @@ class DiscriminatorS(nn.Module):
         b = x.shape[0]
         x = x[..., None]  # (B, T, 1)
         # (features, kernel, stride, groups, padding) — ref src/models.py:195-203
+        w = self.width
         specs = [
-            (128, 15, 1, 1, 7),
-            (128, 41, 2, 4, 20),
-            (256, 41, 2, 16, 20),
-            (512, 41, 4, 16, 20),
-            (1024, 41, 4, 16, 20),
-            (1024, 41, 1, 16, 20),
-            (1024, 5, 1, 1, 2),
+            (w, 15, 1, 1, 7),
+            (w, 41, 2, 4, 20),
+            (w * 2, 41, 2, 16, 20),
+            (w * 4, 41, 4, 16, 20),
+            (w * 8, 41, 4, 16, 20),
+            (w * 8, 41, 1, 16, 20),
+            (w * 8, 5, 1, 1, 2),
         ]
         fmap = []
         for i, (ch, k, s, g, p) in enumerate(specs):
@@ -133,6 +135,7 @@ class DiscriminatorS(nn.Module):
 
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
+    channels: Sequence[int] = (32, 128, 512, 1024)
     precision: Any = None
 
     @nn.compact
@@ -141,7 +144,12 @@ class MultiPeriodDiscriminator(nn.Module):
     ) -> tuple[list, list, list, list]:
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for i, p in enumerate(self.periods):
-            d = DiscriminatorP(period=p, precision=self.precision, name=f"discriminators_{i}")
+            d = DiscriminatorP(
+                period=p,
+                channels=self.channels,
+                precision=self.precision,
+                name=f"discriminators_{i}",
+            )
             y_d_r, fmap_r = d(y, update_spectral)
             y_d_g, fmap_g = d(y_hat, update_spectral)
             y_d_rs.append(y_d_r)
@@ -152,6 +160,8 @@ class MultiPeriodDiscriminator(nn.Module):
 
 
 class MultiScaleDiscriminator(nn.Module):
+    width: int = 128
+    num_scales: int = 3
     precision: Any = None
 
     @nn.compact
@@ -159,12 +169,13 @@ class MultiScaleDiscriminator(nn.Module):
         self, y: jax.Array, y_hat: jax.Array, update_spectral: bool = False
     ) -> tuple[list, list, list, list]:
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
-        for i in range(3):
+        for i in range(self.num_scales):
             if i != 0:
                 y = avg_pool1d(y[..., None], 4, 2, padding=2)[..., 0]
                 y_hat = avg_pool1d(y_hat[..., None], 4, 2, padding=2)[..., 0]
             d = DiscriminatorS(
                 use_spectral_norm=(i == 0),
+                width=self.width,
                 precision=self.precision,
                 name=f"discriminators_{i}",
             )

@@ -64,6 +64,7 @@ class _NormConvBase(nn.Module):
 
     norm: str = "weight"  # 'weight' | 'spectral' | 'none'
     dtype: Any = None  # compute dtype; None -> follow input dtype
+    init_std: float | None = None  # norm='none': N(0, std) init (DSL init_weights)
 
     def _cast(self, x, kernel, bias):
         dtype = self.dtype or x.dtype
@@ -82,6 +83,12 @@ class _NormConvBase(nn.Module):
     ) -> jax.Array:
         init = _kaiming_uniform_conv(fan_in)
         if self.norm == "none":
+            # The reference's init_weights(std) only takes effect on un-normed
+            # convs (weight_norm/spectral_norm recompute .weight from their own
+            # params each forward, so the N(0, std) write is overwritten).
+            if self.init_std is not None:
+                std = self.init_std
+                init = lambda key, shp, dtype=jnp.float32: jax.random.normal(key, shp, dtype) * std
             return self.param("kernel", init, tuple(shape))
         if self.norm == "weight":
             v = self.param("v", init, tuple(shape))

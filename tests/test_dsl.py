@@ -1,0 +1,254 @@
+"""DSL interpreter tests: parser, node semantics, generated model configs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hifigan_tpu.dsl import ConfigurableModule, parse_layer, parse_layers
+from hifigan_tpu.dsl.classifiers import (
+    generate_hunters_config_by_example,
+    generate_keepers_config_by_example,
+)
+from hifigan_tpu.dsl.static_configs import (
+    get_decaying_block,
+    get_discriminator_config,
+    get_generator_configs,
+)
+
+
+def build(cfg, *shapes, rngs=None, dtype=jnp.float32, seed=0):
+    mod = ConfigurableModule(config=cfg)
+    xs = [jnp.asarray(np.random.default_rng(seed + i).standard_normal(s), dtype) for i, s in enumerate(shapes)]
+    init_rngs = {"params": jax.random.PRNGKey(0)}
+    if rngs:
+        init_rngs.update(rngs)
+    variables = mod.init(init_rngs, *xs)
+    out = mod.apply(variables, *xs, rngs=rngs)
+    return out, variables, mod, xs
+
+
+def test_parse_layer():
+    types, params = parse_layer("res.1|conv.1,sub_res:1,3,3,1,1,1e-00")
+    assert types == ["res.1|conv.1", "sub_res"]
+    assert params == [1, 3, 3, 1, 1, 1.0]
+    assert len(parse_layers(["a:1", "b:2,3"])) == 2
+
+
+def test_sequential_and_activations():
+    out, _, _, _ = build([("tanh",), ("sigmoid",)], (2, 8, 4))
+    assert out.shape == (2, 8, 4)
+    assert (np.asarray(out) > 0).all()
+
+
+def test_conv_node_shapes():
+    out, variables, _, _ = build(("conv", (4, 8, 3, 1, 1, 1, 0.01)), (2, 16, 4))
+    assert out.shape == (2, 16, 8)
+    # weight-normed params present
+    leaf_names = jax.tree_util.tree_leaves_with_path(variables["params"])
+    assert any("g" in str(p) for p, _ in leaf_names)
+
+
+def test_conv_norm_none_init_std():
+    out, variables, _, _ = build(("conv", (8, 128, 3, 1, 1, 1, 0.05, "none")), (2, 16, 8))
+    kern = variables["params"]["m_conv"]["kernel"]
+    assert abs(float(jnp.std(kern)) - 0.05) < 0.01  # init_weights std honoured
+
+
+def test_conv_stride_and_rechannel():
+    out, _, _, _ = build(("conv", (4, 8, 5, 2, 1, 1, 0.01)), (2, 16, 4))
+    assert out.shape == (2, 8, 8)
+    out, _, _, _ = build(("conv_rech", (4, 6, 5, None, 1, 1, 0.01)), (2, 12, 4))
+    # stride=None -> 6//gcd(4,6)=3; conv out channels 12, T'=4 -> rechannel 6
+    assert out.shape[2] == 6
+
+
+def test_trans_node_upsamples():
+    out, _, _, _ = build(("trans", (4, 2, 6, 3, 1, 1, 0.01)), (2, 8, 4))
+    assert out.shape == (2, 24, 2)
+
+
+def test_roll_unroll_roundtrip():
+    x = np.random.default_rng(0).standard_normal((2, 12, 3)).astype(np.float32)
+    out, _, _, _ = build([("roll", (4,)), ("unroll", 4)], (2, 12, 3))
+    assert out.shape == (2, 12, 3)
+    mod = ConfigurableModule(config=[("roll", (4,)), ("unroll", 4)])
+    v = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = mod.apply(v, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), x, atol=1e-6)
+
+
+def test_shuffle_unshuffle_inverse():
+    x = np.arange(2 * 4 * 6, dtype=np.float32).reshape(2, 4, 6)
+    mod = ConfigurableModule(config=[("shuffle", 3), ("unshuffle", 3)])
+    v = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = mod.apply(v, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), x)
+
+
+def test_split_merge_chunk():
+    out, _, _, _ = build([("chunk", 2), ("merge",)], (2, 8, 6))
+    assert out.shape == (2, 8, 6)
+    out, _, _, _ = build([("split", {"a": 2, "b": 4}), ("merge_dict",)], (2, 8, 6))
+    assert out.shape == (2, 8, 6)
+    out, _, _, _ = build(("split", 3), (2, 8, 6))
+    assert isinstance(out, tuple) and len(out) == 2
+
+
+def test_repl_avg_ch_one_hot():
+    out, _, _, _ = build(("repl", 3), (2, 8, 2))
+    assert out.shape == (2, 8, 6)
+    out, _, _, _ = build(("avg_ch",), (2, 8, 6))
+    assert out.shape == (2, 8, 1)
+    mod = ConfigurableModule(config=("one_hot", (5, 1)))
+    labels = jnp.asarray([[0, 3, 4], [1, 2, 0]])
+    v = mod.init(jax.random.PRNGKey(0), labels)
+    y = mod.apply(v, labels)
+    assert y.shape == (2, 3, 5)
+
+
+def test_pool_nodes():
+    out, _, _, _ = build(("pool", (4, 2)), (2, 16, 3))
+    assert out.shape[1] == 9  # torch AvgPool1d(4,2,pad=2) on T=16
+    out, _, _, _ = build(("poold", (3, 1, 2)), (2, 16, 3))
+    assert out.shape[2] == 3
+
+
+def test_res_sub_res_valve():
+    cfg = ("res", ("conv", (4, 4, 3, 1, 1, 1, 0.01)))
+    out, _, _, _ = build(cfg, (2, 8, 4))
+    assert out.shape == (2, 8, 4)
+    out, variables, mod, xs = build(("valve", 0.5), (2, 8, 4))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xs[0]) * 0.5)
+    assert "valves" in variables
+    # valve ratio is a mutable leaf: zero it and the output gates fully
+    zeroed = jax.tree_util.tree_map(lambda x: x * 0, variables["valves"])
+    y = mod.apply({**variables, "valves": zeroed}, *xs)
+    np.testing.assert_allclose(np.asarray(y), 0.0)
+
+
+def test_noise_node():
+    out, _, _, _ = build(
+        ("noise", 4), (2, 8, 2), rngs={"noise": jax.random.PRNGKey(42)}
+    )
+    assert out.shape == (2, 8, 4)
+    assert float(jnp.std(out)) > 0.5
+
+
+def test_mel_node():
+    out, _, _, _ = build(("mel", (22050, 8, 64, 16)), (2, 128, 1))
+    assert out.shape[2] == 8  # mels channels-last
+
+
+def test_fusion_sum():
+    cfg = ("fusion", [("tanh",), ("sigmoid",)])
+    out, _, _, _ = build(cfg, (2, 8, 4))
+    assert out.shape == (2, 8, 4)
+    cfg = ("sum", [("tanh",), ("sigmoid",)])
+    out, _, _, _ = build(cfg, (2, 8, 4))
+    assert out.shape == (2, 8, 4)
+
+
+def test_fmap_capture():
+    cfg = (
+        "fmap",
+        (
+            [
+                ("conv", (4, 4, 3, 1, 1, 1, 0.01), ["grab"]),
+                ("tanh",),
+                ("conv", (4, 4, 3, 1, 1, 1, 0.01), ["other"]),
+            ],
+            ["grab"],
+        ),
+    )
+    out, _, _, _ = build(cfg, (2, 8, 4))
+    assert set(out.keys()) == {"output", "features"}
+    assert len(out["features"]) == 1
+    assert out["features"][0].shape == (2, 8, 4)
+
+
+def test_ensemble_mean_variance():
+    cfg = ("ensemble", [("conv", (4, 4, 3, 1, 1, 1, 0.01)) for _ in range(3)])
+    out, _, _, _ = build(cfg, (2, 8, 4))
+    assert set(out.keys()) == {"mean", "variance"}
+    assert out["mean"].shape == (2, 8, 4)
+    assert (np.asarray(out["variance"]) >= 0).all()
+
+
+def test_recursive_dict():
+    cfg = ("recursive", {"a": ("tanh",), "b": ("sigmoid",)})
+    mod = ConfigurableModule(config=cfg)
+    x = {"a": jnp.ones((2, 4, 2)), "b": jnp.zeros((2, 4, 2))}
+    v = mod.init(jax.random.PRNGKey(0), x)
+    y = mod.apply(v, x)
+    assert set(y.keys()) == {"a", "b"}
+
+
+def test_decaying_block():
+    cfg = get_decaying_block(0.5, "skip", "anti", 4, ("conv", (4, 4, 3, 1, 1, 1, 0.01)))
+    out, variables, _, _ = build(cfg, (2, 8, 4), rngs={"noise": jax.random.PRNGKey(7)})
+    assert out.shape == (2, 8, 4)
+    assert "valves" in variables
+
+
+def test_generated_autoencoder_roundtrip():
+    """Full generator config from layer strings: wav -> {content,style} split
+    embedding -> wav (reference static_configs.get_generator_configs)."""
+    layers = parse_layers(
+        ["res.1,none:1,3,1,1,1,1e-00", "res.1,sub_res:1,3,2,1,1,1e-00", "res.1|conv.1,sub_res:2,3,3,1,1,1e-00"]
+    )
+    strides = [lp[2] for _lt, lp in layers]
+    embedding_size = int(np.prod(strides))
+    cfgs = get_generator_configs(layers, expansion_size=2, embedding_size=embedding_size)
+
+    enc = ConfigurableModule(config=cfgs["encoder"])
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 24, 1)), jnp.float32)
+    venc = enc.init(jax.random.PRNGKey(0), x)
+    emb = enc.apply(venc, x)
+    assert isinstance(emb, dict) and set(emb.keys()) == {"content", "style"}
+    total_ch = emb["content"].shape[2] + emb["style"].shape[2]
+    assert total_ch == 2 * embedding_size
+
+    dec = ConfigurableModule(config=cfgs["decoder"])
+    vdec = dec.init(jax.random.PRNGKey(1), emb)
+    wav = dec.apply(vdec, emb)
+    assert wav.shape == (2, 24, 1)
+
+
+def test_generated_discriminator():
+    layers = parse_layers(["roll:1,5,1", "roll:2,5,1", "all:3,5,1", "roll:4,3,1"])
+    cfg = get_discriminator_config(layers, expansion_size=1, ensemble_size=2)
+    out, _, _, _ = build(cfg, (2, 24, 1))
+    assert set(out.keys()) == {"output", "features"}
+    assert set(out["output"].keys()) == {"mean", "variance"}
+
+
+def test_keepers_hunters_configs():
+    # grouped example labels: {group: {label: class-values}} (the dataset's
+    # grouped_labels structure, ref multilabel_wave_dataset.py:33-40)
+    example = {
+        "content": {"sex": [0, 1], "sad": [0, 1, 2]},
+        "style": {"noise": [0, 1], "codec": [0, 1, 2, 3]},
+    }
+    layers = parse_layers(["conv:6,3,1,1,1,1e-00", "conv:x,3,1,1,1,1e-00"])
+    keepers = generate_keepers_config_by_example(4, example, layers=layers)
+    hunters = generate_hunters_config_by_example(4, example, layers=layers)
+    assert set(keepers.keys()) == {"content", "style"}
+
+    mod = ConfigurableModule(config=keepers["content"])
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 4)), jnp.float32)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    y = mod.apply(v, x)
+    # ensemble of classifiers -> {'mean': {'content': {label: probs}}}
+    assert set(y.keys()) == {"mean", "variance"}
+    probs = y["mean"]["content"]
+    assert set(probs.keys()) == {"sex", "sad"}
+    assert probs["sex"].shape == (2, 8, 2)
+    np.testing.assert_allclose(np.asarray(probs["sex"]).sum(-1), 1.0, atol=1e-4)
+
+    # hunters classify the OTHER group
+    hm = ConfigurableModule(config=hunters["content"])
+    vh = hm.init(jax.random.PRNGKey(0), x)
+    yh = hm.apply(vh, x)
+    assert set(yh["mean"].keys()) == {"style"}
