@@ -1,0 +1,254 @@
+"""Distillation training orchestration — the reference's
+`lightning_model.main()` surface (lightning_model.py:712-956), TPU-native.
+
+- Experiment/log-dir contract: `<logs_base>/<name>/version_<v>` with
+  overwrite/copy-from semantics and the config cached to config.yaml
+  (ref create_config, :754-799).
+- Model assembly from declarative configs with every generated module
+  config cached to model_configs/*.yaml (ref create_models, :802-922) and
+  flax-tabulate summaries replacing torchsummary.
+- The callback stack: continuous/history/best checkpoints, interval loss
+  sums -> TB scalars, validation classification/visualisation, model-graph
+  text (ref create_trainer, :925-956).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+from hifigan_tpu.callbacks import (
+    BestCheckpointCallback,
+    ContinuousCheckpointCallback,
+    HistoryCheckpointCallback,
+    ModelGraphVisualizationCallback,
+    OutputLoggingCallback,
+    OutputSumCallback,
+    TrainLoop,
+    ValidationClassificationCallback,
+    ValidationVisualizationCallback,
+)
+from hifigan_tpu.distill.model import DistillModels
+from hifigan_tpu.distill.train import DistillTrainer, DistillTrainState
+from hifigan_tpu.utils.caching import do_and_cache
+
+DEFAULT_LOGS_BASE = "logs"
+
+
+def experiment_log_dir(config: dict, logs_base: str = DEFAULT_LOGS_BASE) -> str:
+    """TensorBoardLogger directory contract incl. overwrite/copy
+    (ref lightning_model.py:766-799)."""
+    experiment = config["experiment"]
+    log_dir = Path(logs_base) / experiment["name"] / f"version_{experiment['version']}"
+
+    source_dir = log_dir
+    if experiment.get("copy", {}).get("enabled", False):
+        if log_dir.exists() and not experiment.get("overwrite", False):
+            raise RuntimeError("Cannot copy into existing version when overwrite is false.")
+        copy_cfg = experiment["copy"]
+        source_dir = (
+            Path(logs_base)
+            / copy_cfg.get("name", experiment["name"])
+            / f"version_{copy_cfg.get('version', experiment['version'])}"
+        )
+    if experiment.get("overwrite", False) and log_dir.exists():
+        shutil.rmtree(log_dir)
+    log_dir.mkdir(parents=True, exist_ok=True)
+    do_and_cache(
+        lambda: config,
+        os.path.join(log_dir, "config.yaml"),
+        os.path.join(source_dir, "config.yaml"),
+    )
+    return str(log_dir)
+
+
+# ---------------------------------------------------------------------------
+# state (de)serialisation
+# ---------------------------------------------------------------------------
+
+
+def save_distill_state(path: str, state: DistillTrainState) -> None:
+    data = serialization.msgpack_serialize(
+        jax.tree_util.tree_map(np.asarray, serialization.to_state_dict(state))
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_distill_state(path: str, template: DistillTrainState) -> DistillTrainState:
+    with open(path, "rb") as f:
+        restored = serialization.msgpack_restore(f.read())
+    return serialization.from_state_dict(template, restored)
+
+
+# ---------------------------------------------------------------------------
+# model summaries (torchsummary replacement, ref :841-920)
+# ---------------------------------------------------------------------------
+
+
+def summarize_params(name: str, variables: Any) -> str:
+    lines = [f"{name}:"]
+    total = 0
+    params = variables.get("params", variables)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        keys = "/".join(str(getattr(p, "key", p)) for p in path)
+        n = int(np.prod(leaf.shape)) if leaf.shape else 1
+        total += n
+        lines.append(f"  {keys}: {tuple(leaf.shape)} = {n}")
+    lines.append(f"  TOTAL: {total} params")
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end assembly
+# ---------------------------------------------------------------------------
+
+
+def initialize(config: dict, datasets: dict, logs_base: str = DEFAULT_LOGS_BASE,
+               cache_model_configs: bool = True, writer=None):
+    """config + {loop: dataset} -> (trainer, loop) ready to run.
+
+    Datasets must expose `label_options_groups` / `label_weights_groups`
+    and a `batches()` iterator (MultilabelWaveDataset does)."""
+    log_dir = experiment_log_dir(config, logs_base)
+
+    train_ds = datasets["train"]
+    example = train_ds.label_options_groups
+    weights = train_ds.label_weights_groups
+
+    models = DistillModels(
+        config, example, weights, sampling_rate=config["sampling_rate"]
+    )
+    if cache_model_configs:
+        # cache every generated module config for reproducibility (ref :888-914)
+        cfg_dir = Path(log_dir) / "model_configs"
+        cfg_dir.mkdir(parents=True, exist_ok=True)
+        do_and_cache(lambda: repr(models.encoder.config), str(cfg_dir / "encoder.yaml"))
+        do_and_cache(lambda: repr(models.decoder.config), str(cfg_dir / "decoder.yaml"))
+        do_and_cache(lambda: repr(models.discriminator.config), str(cfg_dir / "discriminator.yaml"))
+
+    trainer = DistillTrainer(models, config)
+    seg = config["loops"]["train"]["segment_length"]
+    state = trainer.create_state(jax.random.PRNGKey(config.get("seed", 1234)), seg)
+
+    intervals = {
+        "train": config["learning"]["accumulated_grad_batches"],
+        "validation": config["learning"]["accumulated_grad_batches"] * 20,
+    }
+    best_cb = BestCheckpointCallback()
+    summaries = {
+        name: summarize_params(name, vs)
+        for name, vs in state.variables.items()
+        if isinstance(vs, dict) and "params" in vs
+    }
+    callbacks = [
+        HistoryCheckpointCallback(),
+        ContinuousCheckpointCallback(intervals["validation"]),
+        best_cb,
+        OutputSumCallback(intervals, reset_callbacks=[OutputLoggingCallback(), best_cb]),
+        ValidationVisualizationCallback(config["sampling_rate"], config.get("visualize", 1)),
+        ModelGraphVisualizationCallback(summaries),
+        ValidationClassificationCallback(example),
+    ]
+    loop = TrainLoop(
+        state=state,
+        step_fn=trainer.make_train_step(donate=False),
+        log_dir=log_dir,
+        callbacks=callbacks,
+        writer=writer,
+        save_state=save_distill_state,
+        load_state=load_distill_state,
+    )
+    return models, trainer, loop
+
+
+def train(config: dict, datasets: dict, logs_base: str = DEFAULT_LOGS_BASE,
+          max_steps: int = 1_000_000, writer=None, rng_seed: int = 0):
+    """Run the full distillation training loop with validation."""
+    models, trainer, loop = initialize(config, datasets, logs_base, writer=writer)
+    eval_step = trainer.make_eval_step()
+    val_interval = config["learning"]["accumulated_grad_batches"] * 20
+    batch_size = config["loops"]["train"]["batch_size"]
+
+    rng = jax.random.PRNGKey(rng_seed)
+    step_count = loop.global_step
+    epoch = 0
+    while loop.global_step < max_steps and not loop.stop_requested:
+        for batch in datasets["train"].batches(batch_size, seed=rng_seed + epoch):
+            batch = {k: batch[k] for k in ("audio", "time_labels")}
+            rng, sub = jax.random.split(rng)
+            loop.fire("on_step_start")
+            loop.state, losses = loop.step_fn(loop.state, batch, sub)
+            loop.fire("on_step_end", losses)
+            step_count = loop.global_step
+            if step_count % val_interval == 0 and "validation" in datasets:
+                for vb in datasets["validation"].batches(batch_size, shuffle=False):
+                    vb = {k: vb[k] for k in ("audio", "time_labels")}
+                    rng, sub = jax.random.split(rng)
+                    vlosses, vextra = eval_step(loop.state, vb, sub)
+                    loop.fire("on_validation_batch_end", vlosses, jax.device_get(vextra))
+                loop.fire("on_validation_end")
+            if step_count >= max_steps:
+                break
+        epoch += 1
+    return loop.state
+
+
+def main() -> None:
+    import argparse
+
+    from hifigan_tpu.data.multilabel import MultilabelWaveDataset
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--datasets_dir", default="/datasets")
+    parser.add_argument("--logs_base", default=DEFAULT_LOGS_BASE)
+    parser.add_argument("--max_steps", default=1_000_000, type=int)
+    a = parser.parse_args()
+
+    with open(a.config) as f:
+        config = json.load(f)
+
+    from hifigan_tpu.dsl.parsing import parse_layers
+    from hifigan_tpu.distill.model import embedding_size_from_layers
+
+    embedding_size = embedding_size_from_layers(
+        parse_layers(config["models"]["generator"]["layers"])
+    )
+    datasets = {
+        key: MultilabelWaveDataset(
+            data_dir=f"{a.datasets_dir}/data",
+            aug_dir=f"{a.datasets_dir}/aug",
+            cache_dir=f"{a.datasets_dir}/cache",
+            name=key,
+            segment_length=config["loops"][key]["segment_length"],
+            sampling_rate=config["sampling_rate"],
+            embedding_size=embedding_size,
+            augmentation_config=config["augmentation"],
+            **config["data"][key]["dataset"],
+        )
+        for key in config["loops"]
+    }
+
+    writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(experiment_log_dir(config, a.logs_base))
+    except ImportError:
+        pass
+
+    train(config, datasets, a.logs_base, max_steps=a.max_steps, writer=writer)
+
+
+if __name__ == "__main__":
+    main()

@@ -487,10 +487,44 @@ class DistillTrainer:
     # ------------------------------------------------------------------
 
     def make_eval_step(self):
+        """Validation step: (losses, data) where data mirrors the reference's
+        transform_data output (lightning_model.py:226-274): wav/mel pairs and
+        the label truth/keep/sniff/hunt prediction trees for the confusion
+        and visualisation callbacks."""
+        m = self.models
+
         def eval_fn(state: DistillTrainState, batch, rng):
             total, (losses, extra, _mut) = self.compute_losses(
                 state.variables, state.disc_copy, state.hunter_copies, batch, rng
             )
-            return losses, extra
+            variables = state.variables
+            noise_rngs = {"noise": rng}
+            x = batch["audio"][:, :, None]
+            emb = m.encoder.apply(variables["encoder"], x, rngs=noise_rngs)
+            wav_generated = m.decoder.apply(variables["decoder"], emb, rngs=noise_rngs)
+
+            def mel(w):
+                return log_mel_spectrogram(w[..., 0], self.mel_cfg)
+
+            keeps, sniffs, hunts = {}, {}, {}
+            for key in m.keepers:
+                kp = m.keepers[key].apply(variables["keepers"][key], emb[key], rngs=noise_rngs)["mean"]
+                keeps.update(kp)
+                sn = m.sniffers[key].apply(variables["sniffers"][key], kp[key], rngs=noise_rngs)["mean"]
+                for g, t in sn.items():
+                    sniffs[g] = t
+                hp = m.hunters[key].apply(variables["hunters"][key], emb[key], rngs=noise_rngs)["mean"]
+                hunts.update(hp)
+            data = {
+                "wav": {"truth": x, "generated": wav_generated},
+                "mel": {"truth": mel(x), "generated": mel(wav_generated)},
+                "label": {
+                    "truth": batch["time_labels"],
+                    "keep": keeps,
+                    "sniff": sniffs,
+                    "hunt": hunts,
+                },
+            }
+            return losses, data
 
         return jax.jit(eval_fn)

@@ -125,6 +125,11 @@ class ConfigurableModule(nn.Module):
         if name == "#tagged":  # tags attached to a whole sequence
             y, feats = self._eval(params, args, path)
         else:
+            if name == "valve" and tags:
+                # Embed tags in the valve's variable path so schedule
+                # callbacks can address valves by tag (the reference finds
+                # ValveBlocks via module tags, valve_decay_callback.py:20-24).
+                path = f"{path}__{'+'.join(tags)}"
             y, feats = self._node(name, params, args, path)
         if tags:
             feats = feats + [(tags, y)]

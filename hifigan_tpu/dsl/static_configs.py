@@ -312,7 +312,16 @@ def generate_sniffer_config_by_example(key, label_group, example_item, layers, o
         ("recursive", {group: {k: ("softmax",) for k in sizes} for group, sizes in other_label_groups.items()}),
     ]
     if one_hot:
-        one_hot_layer = ("recursive", {label: ("one_hot", (value, 1)) for label, value in label_group.items()})
+        # the reference passes the raw option collection here (latent bug —
+        # one_hot=True is never exercised by its shipped main); the working
+        # channel count is the number of options.
+        one_hot_layer = (
+            "recursive",
+            {
+                label: ("one_hot", (len(value) if hasattr(value, "__len__") else value, 1))
+                for label, value in label_group.items()
+            },
+        )
         sniffer_layers = [one_hot_layer, *sniffer_layers]
     return sniffer_layers
 
