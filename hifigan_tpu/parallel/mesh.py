@@ -45,6 +45,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def tensor_parallel_shardings(tree: Any, mesh: Mesh, min_size: int = 64) -> Any:
+    """Channel (tensor) parallelism over the 'model' mesh axis.
+
+    For every array leaf whose last axis is divisible by the 'model' axis
+    size and at least ``min_size`` wide, shard that axis (column-parallel
+    convs: (K, I, O) kernels and (O,) biases shard on O; optimizer moments
+    share the shapes so they shard identically). Everything else is
+    replicated — GSPMD propagates activation shardings and inserts the
+    collectives over ICI.
+    """
+    model_size = mesh.shape.get("model", 1)
+
+    def rule(leaf):
+        shape = getattr(leaf, "shape", ())
+        if (
+            model_size > 1
+            and len(shape) >= 1
+            and shape[-1] >= min_size
+            and shape[-1] % model_size == 0
+        ):
+            spec = [None] * (len(shape) - 1) + ["model"]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, tree)
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place a host batch pytree with the batch axis sharded over 'data'.
 

@@ -116,7 +116,8 @@ def _gen_apply(h, params_g, mel):
     return wav[:, 0, :]  # (B, T)
 
 
-def make_train_step(h, mesh: Mesh | None = None, donate: bool = True):
+def make_train_step(h, mesh: Mesh | None = None, donate: bool = True,
+                    state_shardings=None):
     """Build the jitted train step: (state, batch) -> (state, metrics).
 
     batch: {'audio': (B, T) float32, optional 'mel': (B, 80, F)} — when
@@ -212,10 +213,11 @@ def make_train_step(h, mesh: Mesh | None = None, donate: bool = True):
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
+        state_sh = state_shardings if state_shardings is not None else repl
         return jax.jit(
             step_fn,
-            in_shardings=(repl, data),
-            out_shardings=(repl, repl),
+            in_shardings=(state_sh, data),
+            out_shardings=(state_sh, repl),
             donate_argnums=(0,) if donate else (),
         )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
