@@ -153,6 +153,14 @@ class MelConfig:
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _mel_impl(y: jax.Array, cfg: MelConfig) -> jax.Array:
+    if cfg.method == "pallas":
+        # fused Pallas kernel (forward-only; no custom VJP yet) with jnp
+        # fallback for unsupported geometries
+        from hifigan_tpu.ops.pallas.logmel import fused_log_mel, supports_fused_log_mel
+
+        if supports_fused_log_mel(cfg):
+            return fused_log_mel(y, cfg)
+        cfg = dataclasses.replace(cfg, method="matmul")
     pad = int((cfg.n_fft - cfg.hop_size) / 2)
     y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode="reflect")
     spec = stft_power(

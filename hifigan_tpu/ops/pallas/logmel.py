@@ -1,0 +1,117 @@
+"""Fused log-mel Pallas kernel.
+
+One VMEM-resident pass per frame-block: DMA a contiguous signal slice from
+HBM -> static-slice restitch of overlapping frames -> Hann window (folded
+into the DFT basis) -> real-DFT matmul (MXU) -> power -> mel-filterbank
+matmul (MXU) -> log clamp. The XLA composition (hifigan_tpu.audio.mel)
+materialises the (B, F, n_fft) frame tensor and the (B, F, bins)
+spectrogram in HBM; this kernel keeps both in VMEM, writing only the
+(B, F, mels) result.
+
+Applicability: n_fft == win_size == 4 * hop (the HiFi-GAN standard
+1024/1024/256) — frame f is then the concatenation of 4 consecutive
+hop-sized sample blocks, so frames assemble from a contiguous signal block
+with static slices (no gathers). Overlapping reads can't be expressed as a
+BlockSpec, so the signal stays in HBM (`pltpu.ANY`) and each grid step DMAs
+its slice into VMEM scratch. `supports_fused_log_mel` gates dispatch; other
+geometries fall back to the jnp path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hifigan_tpu.audio.mel import MelConfig, mel_filterbank
+from hifigan_tpu.audio.stft import _rdft_basis, hann_window
+
+
+def supports_fused_log_mel(cfg: MelConfig) -> bool:
+    return (
+        cfg.n_fft == cfg.win_size
+        and cfg.n_fft == 4 * cfg.hop_size
+        and cfg.power == 2.0
+        and cfg.method != "fft"
+    )
+
+
+def _kernel(sig_hbm, basis_ref, fb_ref, out_ref, sig_vmem, sem, *, tile_f, hop, n_bins):
+    bi = pl.program_id(0)
+    fi = pl.program_id(1)
+    span = (tile_f + 3) * hop
+    dma = pltpu.make_async_copy(
+        sig_hbm.at[bi, pl.ds(fi * tile_f * hop, span)],
+        sig_vmem.at[0, :],
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    blocks = sig_vmem[0, :].reshape(tile_f + 3, hop)
+    frames = jnp.concatenate(
+        [blocks[0:tile_f], blocks[1 : tile_f + 1], blocks[2 : tile_f + 2], blocks[3 : tile_f + 3]],
+        axis=1,
+    )  # (tile_f, 4*hop)
+    spec = jnp.dot(frames, basis_ref[:, :], preferred_element_type=jnp.float32)
+    re, im = spec[:, :n_bins], spec[:, n_bins:]
+    power = re * re + im * im
+    mel = jnp.dot(power, fb_ref[:, :], preferred_element_type=jnp.float32)
+    out_ref[0, :, :] = jnp.log(jnp.clip(mel, 1e-5, None))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _fused_log_mel_padded(
+    y_padded: jax.Array, cfg: MelConfig, num_frames: int, interpret: bool = False
+) -> jax.Array:
+    """y_padded: (B, num_frames*hop + 3*hop) reflect-padded signal."""
+    hop = cfg.hop_size
+    n_bins = cfg.n_fft // 2 + 1
+    tile_f = min(128, num_frames)
+    f_pad = -num_frames % tile_f
+    total_f = num_frames + f_pad
+    if f_pad:
+        y_padded = jnp.pad(y_padded, ((0, 0), (0, f_pad * hop)))
+    b = y_padded.shape[0]
+
+    window = hann_window(cfg.win_size).astype(np.float32)
+    basis = (_rdft_basis(cfg.n_fft, cfg.win_size) * window[:, None]).astype(np.float32)
+    fb = mel_filterbank(
+        cfg.sampling_rate, cfg.n_fft, cfg.num_mels, cfg.fmin, cfg.fmax, cfg.mel_scale, cfg.norm
+    )
+
+    kernel = functools.partial(_kernel, tile_f=tile_f, hop=hop, n_bins=n_bins)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, total_f // tile_f),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # signal stays in HBM
+            pl.BlockSpec((cfg.n_fft, 2 * n_bins), lambda bi, fi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bins, cfg.num_mels), lambda bi, fi: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_f, cfg.num_mels), lambda bi, fi: (bi, fi, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, total_f, cfg.num_mels), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, (tile_f + 3) * hop), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(y_padded, jnp.asarray(basis), jnp.asarray(fb))
+    out = out[:, :num_frames, :]
+    return jnp.swapaxes(out, -1, -2)  # (B, mels, F)
+
+
+def fused_log_mel(y: jax.Array, cfg: MelConfig, interpret: bool = False) -> jax.Array:
+    """(B, T) -> (B, num_mels, frames); numerics match
+    hifigan_tpu.audio.log_mel_spectrogram for supported geometries."""
+    assert supports_fused_log_mel(cfg), "unsupported mel geometry for the fused kernel"
+    pad = (cfg.n_fft - cfg.hop_size) // 2  # = 1.5*hop for the 4x geometry
+    y_padded = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+    num_frames = 1 + (y_padded.shape[-1] - cfg.n_fft) // cfg.hop_size
+    return _fused_log_mel_padded(y_padded, cfg, num_frames, interpret)
