@@ -41,23 +41,28 @@ def supports_fused_log_mel(cfg: MelConfig) -> bool:
 
 
 def _kernel(sig_hbm, basis_ref, fb_ref, out_ref, sig_vmem, sem, *, tile_f, hop, n_bins):
+    # sig_hbm: (B, n_blocks, hop). Frame f = blocks[f : f + 4] concatenated;
+    # rather than concatenating vectors (Mosaic rejects offset-slice concats)
+    # the window matmul is decomposed into 4 accumulated partial matmuls:
+    #   frames @ basis = sum_j blocks[f + j] @ basis[j*hop:(j+1)*hop].
+    # One tile-aligned DMA brings tile_f + 8 rows (DMA row offsets must be
+    # sublane-aligned); the j-offset row windows are VMEM slices.
     bi = pl.program_id(0)
     fi = pl.program_id(1)
-    span = (tile_f + 3) * hop
     dma = pltpu.make_async_copy(
-        sig_hbm.at[bi, pl.ds(fi * tile_f * hop, span)],
-        sig_vmem.at[0, :],
+        sig_hbm.at[bi, pl.ds(fi * tile_f, tile_f + 8), :],
+        sig_vmem,
         sem,
     )
     dma.start()
     dma.wait()
-
-    blocks = sig_vmem[0, :].reshape(tile_f + 3, hop)
-    frames = jnp.concatenate(
-        [blocks[0:tile_f], blocks[1 : tile_f + 1], blocks[2 : tile_f + 2], blocks[3 : tile_f + 3]],
-        axis=1,
-    )  # (tile_f, 4*hop)
-    spec = jnp.dot(frames, basis_ref[:, :], preferred_element_type=jnp.float32)
+    spec = jnp.zeros((tile_f, 2 * n_bins), jnp.float32)
+    for j in range(4):
+        spec += jnp.dot(
+            sig_vmem[j : tile_f + j, :],
+            basis_ref[j * hop : (j + 1) * hop, :],
+            preferred_element_type=jnp.float32,
+        )
     re, im = spec[:, :n_bins], spec[:, n_bins:]
     power = re * re + im * im
     mel = jnp.dot(power, fb_ref[:, :], preferred_element_type=jnp.float32)
@@ -84,6 +89,10 @@ def _fused_log_mel_padded(
         cfg.sampling_rate, cfg.n_fft, cfg.num_mels, cfg.fmin, cfg.fmax, cfg.mel_scale, cfg.norm
     )
 
+    # (B, n_blocks, hop) view so row-offset DMAs express the overlap; pad
+    # 5 extra rows so every tile's (tile_f + 8)-row aligned DMA is in bounds
+    sig_blocks = jnp.pad(y_padded.reshape(b, -1, hop), ((0, 0), (0, 5), (0, 0)))
+
     kernel = functools.partial(_kernel, tile_f=tile_f, hop=hop, n_bins=n_bins)
     out = pl.pallas_call(
         kernel,
@@ -98,11 +107,11 @@ def _fused_log_mel_padded(
         ),
         out_shape=jax.ShapeDtypeStruct((b, total_f, cfg.num_mels), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((1, (tile_f + 3) * hop), jnp.float32),
+            pltpu.VMEM((tile_f + 8, hop), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(y_padded, jnp.asarray(basis), jnp.asarray(fb))
+    )(sig_blocks, jnp.asarray(basis), jnp.asarray(fb))
     out = out[:, :num_frames, :]
     return jnp.swapaxes(out, -1, -2)  # (B, mels, F)
 

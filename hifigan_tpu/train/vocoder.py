@@ -350,7 +350,8 @@ def train(a, h, mesh: Mesh | None = None, writer=None) -> VocoderTrainState:
             if steps % a.validation_interval == 0 and steps != 0:
                 val_err = 0.0
                 n = 0
-                for vb in validset.batches(h["batch_size"], shuffle=False):
+                # upstream validates at batch size 1 (train.py surface)
+                for vb in validset.batches(1, shuffle=False, drop_last=False):
                     vb.pop("filenames", None)
                     err, _ = eval_step(state.params_g, vb)
                     val_err += float(err)
