@@ -84,14 +84,28 @@ def conv_transpose1d(
     padding: int = 0,
     output_padding: int = 0,
     precision=None,
+    method: str = "polyphase",
 ) -> jax.Array:
     """torch.nn.ConvTranspose1d-exact: (N, W, I) @ (K, I, O) -> (N, W', O).
 
     W' = (W - 1) * stride - 2 * padding + K + output_padding.
-    Implemented as a forward conv over the stride-dilated input with the
-    kernel flipped along K (the gradient-of-conv identity), so XLA lowers it
-    to the same MXU path as a normal conv.
+
+    method='polyphase' (default): decompose into ``stride`` output phases
+    computed by ONE dense conv with ceil-window taps and a depth-to-space
+    reshape — ~k/ceil(k/u)x fewer MACs than the lhs-dilation form (which
+    multiplies against the inserted zeros) and a much better MXU mapping.
+    method='dilated': the gradient-of-conv identity (stride-dilated input,
+    flipped kernel), kept as the reference implementation/oracle.
     """
+    # polyphase fast path: exact when output length == W*stride, i.e.
+    # k - 2p == stride (every HiFi-GAN variant: k = 2u, p = u/2)
+    if (
+        method == "polyphase"
+        and stride > 1
+        and output_padding == 0
+        and kernel.shape[0] - 2 * padding == stride
+    ):
+        return _conv_transpose1d_polyphase(x, kernel, bias, stride, padding, precision)
     k = kernel.shape[0]
     lo = k - 1 - padding
     hi = k - 1 - padding + output_padding
@@ -104,6 +118,55 @@ def conv_transpose1d(
         dimension_numbers=("NWC", "WIO", "NWC"),
         precision=precision,
     )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def _conv_transpose1d_polyphase(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None,
+    stride: int,
+    padding: int,
+    precision,
+) -> jax.Array:
+    """Polyphase transposed conv.
+
+    y[n*u + r] = sum_s x[n - s] * W[s*u + r + p] (taps with index in [0, k)),
+    computed as one conv with kernel K[w, i, r*O + o] = W[(s_max-w)*u + r + p]
+    (zero-masked out of range) followed by an (N, u, O) -> (N*u, O)
+    depth-to-space reshape. Exact for output_padding == 0.
+    """
+    import numpy as np
+
+    k, in_ch, out_ch = kernel.shape
+    u, p = stride, padding
+    s_min = -((p + u - 1) // u)
+    s_max = (k - 1 - p) // u
+    wn = s_max - s_min + 1
+
+    w_idx = np.arange(wn)[:, None]
+    r_idx = np.arange(u)[None, :]
+    tap = (s_max - w_idx) * u + r_idx + p  # (wn, u)
+    valid = (tap >= 0) & (tap < k)
+    tap_safe = np.clip(tap, 0, k - 1)
+
+    gathered = kernel[jnp.asarray(tap_safe.reshape(-1))]  # (wn*u, I, O)
+    gathered = gathered.reshape(wn, u, in_ch, out_ch)
+    gathered = jnp.where(jnp.asarray(valid)[:, :, None, None], gathered, 0.0)
+    big_kernel = jnp.transpose(gathered, (0, 2, 1, 3)).reshape(wn, in_ch, u * out_ch)
+
+    y = jax.lax.conv_general_dilated(
+        x,
+        big_kernel,
+        window_strides=(1,),
+        padding=((s_max, -s_min),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=precision,
+    )  # (N, W, u*O)
+    n, w_out, _ = y.shape
+    y = y.reshape(n, w_out * u, out_ch)
     if bias is not None:
         y = y + bias
     return y

@@ -62,10 +62,14 @@ def _kernel(sig_hbm, basis_ref, fb_ref, out_ref, sig_vmem, sem, *, tile_f, hop, 
             sig_vmem[j : tile_f + j, :],
             basis_ref[j * hop : (j + 1) * hop, :],
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     re, im = spec[:, :n_bins], spec[:, n_bins:]
     power = re * re + im * im
-    mel = jnp.dot(power, fb_ref[:, :], preferred_element_type=jnp.float32)
+    mel = jnp.dot(
+        power, fb_ref[:, :], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     out_ref[0, :, :] = jnp.log(jnp.clip(mel, 1e-5, None))
 
 

@@ -37,13 +37,40 @@ from flax import serialization
 # ---------------------------------------------------------------------------
 
 
-def save_checkpoint(filepath: str, obj: Any) -> None:
-    obj = jax.tree_util.tree_map(np.asarray, obj)
-    data = serialization.msgpack_serialize(obj)
+_ASYNC_POOL = None
+_PENDING: list = []
+
+
+def _write(filepath: str, data: bytes) -> None:
     tmp = filepath + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, filepath)
+
+
+def save_checkpoint(filepath: str, obj: Any, async_: bool = False) -> None:
+    """Atomic checkpoint write; ``async_=True`` device_gets synchronously but
+    serialises + writes on a background thread (Orbax-style async save — the
+    TPU keeps training while the host does I/O). Call
+    :func:`wait_for_checkpoints` before relying on the files."""
+    obj = jax.tree_util.tree_map(np.asarray, obj)  # device_get barrier
+    if not async_:
+        _write(filepath, serialization.msgpack_serialize(obj))
+        return
+    global _ASYNC_POOL
+    if _ASYNC_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _ASYNC_POOL = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
+    _PENDING.append(
+        _ASYNC_POOL.submit(lambda: _write(filepath, serialization.msgpack_serialize(obj)))
+    )
+
+
+def wait_for_checkpoints() -> None:
+    """Block until all async checkpoint writes are durable."""
+    while _PENDING:
+        _PENDING.pop().result()
 
 
 def load_checkpoint(filepath: str) -> Any:

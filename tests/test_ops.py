@@ -133,3 +133,39 @@ def test_weight_norm_kernel_matches_torch(rng):
 def test_leaky_relu():
     x = jnp.asarray([-2.0, 0.0, 3.0])
     np.testing.assert_allclose(leaky_relu(x, 0.1), [-0.2, 0.0, 3.0])
+
+
+@requires_torch
+@pytest.mark.parametrize(
+    "in_ch,out_ch,k,stride,pad",
+    [
+        (16, 8, 16, 8, 4), (16, 8, 4, 2, 1), (32, 16, 16, 8, 4), (8, 4, 8, 4, 2),
+        (8, 4, 7, 3, 2),   # k not a multiple of stride
+        (8, 4, 5, 5, 0),   # k == stride, no padding
+        (8, 4, 9, 2, 3),   # wide kernel, small stride
+    ],
+)
+def test_conv_transpose1d_polyphase_matches_torch(rng, in_ch, out_ch, k, stride, pad):
+    """The default polyphase decomposition is exact for every geometry."""
+    import torch
+
+    x = rng.standard_normal((2, in_ch, 20)).astype(np.float32)
+    w = rng.standard_normal((in_ch, out_ch, k)).astype(np.float32)
+    b = rng.standard_normal((out_ch,)).astype(np.float32)
+
+    ref = torch.nn.functional.conv_transpose1d(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+        stride=stride, padding=pad,
+    ).numpy()
+
+    for method in ("polyphase", "dilated"):
+        got = conv_transpose1d(
+            jnp.asarray(x.transpose(0, 2, 1)),
+            jnp.asarray(w.transpose(2, 0, 1)),
+            jnp.asarray(b),
+            stride=stride, padding=pad, method=method,
+        )
+        assert got.shape[1] == ref.shape[2], method
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 2, 1), ref, atol=2e-5, rtol=1e-5, err_msg=method
+        )
