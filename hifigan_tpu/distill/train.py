@@ -24,7 +24,6 @@ fork pipeline conventions).
 
 from __future__ import annotations
 
-import functools
 from collections.abc import Mapping
 from typing import Any
 

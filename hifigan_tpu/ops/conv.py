@@ -84,18 +84,20 @@ def conv_transpose1d(
     padding: int = 0,
     output_padding: int = 0,
     precision=None,
-    method: str = "polyphase",
+    method: str = "dilated",
 ) -> jax.Array:
     """torch.nn.ConvTranspose1d-exact: (N, W, I) @ (K, I, O) -> (N, W', O).
 
     W' = (W - 1) * stride - 2 * padding + K + output_padding.
 
-    method='polyphase' (default): decompose into ``stride`` output phases
-    computed by ONE dense conv with ceil-window taps and a depth-to-space
-    reshape — ~k/ceil(k/u)x fewer MACs than the lhs-dilation form (which
-    multiplies against the inserted zeros) and a much better MXU mapping.
-    method='dilated': the gradient-of-conv identity (stride-dilated input,
-    flipped kernel), kept as the reference implementation/oracle.
+    method='dilated' (default): the gradient-of-conv identity (stride-dilated
+    input, flipped kernel). Measured FASTER on TPU v5e than the polyphase
+    decomposition (XLA lowers lhs-dilation convs efficiently; the polyphase
+    depth-to-space relayout of the upsampled tensor costs more than the MACs
+    it saves — V1 bench: 74 ms vs 80 ms per 95 s of audio).
+    method='polyphase': ``stride`` output phases via one dense conv +
+    depth-to-space; exact for k - 2p == stride; kept for layouts/backends
+    where dilated convs lower poorly.
     """
     # polyphase fast path: exact when output length == W*stride, i.e.
     # k - 2p == stride (every HiFi-GAN variant: k = 2u, p = u/2)

@@ -18,13 +18,11 @@ TPU-first design:
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -353,8 +351,24 @@ def train(a, h, mesh: Mesh | None = None, writer=None) -> VocoderTrainState:
                 # upstream validates at batch size 1 (train.py surface)
                 for vb in validset.batches(1, shuffle=False, drop_last=False):
                     vb.pop("filenames", None)
-                    err, _ = eval_step(state.params_g, vb)
+                    err, y_hat = eval_step(state.params_g, vb)
                     val_err += float(err)
+                    if writer is not None and n < 4:
+                        # validation audio + mel figures (upstream train.py logs
+                        # y_hat audio and generated-spec figures per val item)
+                        import numpy as _np
+
+                        from hifigan_tpu.audio.mel import MelConfig, log_mel_spectrogram
+                        from hifigan_tpu.utils.plotting import plot_spectrogram
+
+                        wav_np = _np.asarray(y_hat[0]).reshape(-1, 1)
+                        writer.add_audio(f"generated/y_hat_{n}", wav_np, steps, h["sampling_rate"])
+                        mel_hat = log_mel_spectrogram(y_hat[:1], MelConfig.from_hparams(h))
+                        writer.add_figure(
+                            f"generated/y_hat_spec_{n}",
+                            plot_spectrogram(_np.asarray(mel_hat[0])),
+                            steps,
+                        )
                     n += 1
                 if n:
                     val_err /= n

@@ -33,3 +33,12 @@ def test_async_save(tmp_path):
     wait_for_checkpoints()
     restored = load_checkpoint(path)
     np.testing.assert_array_equal(restored["x"], obj["x"])
+
+
+def test_compile_report():
+    from hifigan_tpu.utils.debug import compile_report
+
+    import jax.numpy as jnp
+
+    rep = compile_report(lambda x: (x @ x).sum(), jnp.ones((64, 64)))
+    assert rep["flops"] is None or rep["flops"] > 0
