@@ -198,7 +198,9 @@ class LowpassAugmentor:
 
     def augment(self, rng, labels, cut_labels, wav, aug_parameter, disable_wav_augmentation=False):
         if not disable_wav_augmentation:
-            wav = sox_one_pole_lowpass(wav, float(aug_parameter), self.sample_rate)
+            from hifigan_tpu.data import native
+
+            wav = native.one_pole_lowpass(wav, float(aug_parameter), self.sample_rate)
         return labels, wav, aug_parameter
 
 
@@ -208,7 +210,9 @@ class HighpassAugmentor:
 
     def augment(self, rng, labels, cut_labels, wav, aug_parameter, disable_wav_augmentation=False):
         if not disable_wav_augmentation:
-            wav = sox_one_pole_highpass(wav, float(aug_parameter), self.sample_rate)
+            from hifigan_tpu.data import native
+
+            wav = native.one_pole_highpass(wav, float(aug_parameter), self.sample_rate)
         return labels, wav, aug_parameter
 
 

@@ -21,6 +21,14 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host bring-up: call before create_mesh on each host
+    (jax.distributed.initialize passthrough; coordinator/host ids from env)."""
+    import jax
+
+    jax.distributed.initialize(**kwargs)
+
+
 def create_mesh(
     data: int | None = None,
     model: int = 1,
