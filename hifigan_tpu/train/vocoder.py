@@ -266,11 +266,30 @@ def train(a, h, mesh: Mesh | None = None, writer=None) -> VocoderTrainState:
 
     cp_g = scan_checkpoint(a.checkpoint_path, "g_")
     cp_do = scan_checkpoint(a.checkpoint_path, "do_")
-    if cp_g is not None and cp_do is not None:
+    if cp_g is not None:
         g_ck = load_checkpoint(cp_g)
+        gen_params = g_ck["generator"]
+        if any("." in k for k in gen_params):  # reference torch checkpoint
+            from hifigan_tpu.train.checkpoint import convert_torch_generator
+
+            gen_params = convert_torch_generator(gen_params)["params"]
+            print(f"Converted reference torch generator checkpoint {cp_g}")
+        state = state.replace(params_g=gen_params)
+    if cp_do is not None:
         do_ck = load_checkpoint(cp_do)
+        if any(isinstance(k, str) and "." in k for k in do_ck.get("mpd", {})):
+            from hifigan_tpu.train.checkpoint import convert_torch_discriminators
+
+            conv = convert_torch_discriminators(do_ck)
+            do_ck = {
+                "mpd": conv["mpd"]["params"],
+                "msd": conv["msd"]["params"],
+                "spectral_msd": conv["msd"].get("spectral", state.spectral_msd),
+                "steps": do_ck.get("steps", 0),
+                "epoch": do_ck.get("epoch", -1),
+            }
+            print(f"Converted reference torch discriminator checkpoint {cp_do}")
         state = state.replace(
-            params_g=g_ck["generator"],
             params_mpd=do_ck["mpd"],
             params_msd=do_ck["msd"],
             spectral_msd=do_ck.get("spectral_msd", state.spectral_msd),
