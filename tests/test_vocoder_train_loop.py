@@ -152,3 +152,45 @@ def test_train_loop_fine_tuning_path(lj_corpus, tmp_path):
     )
     state = train(a, h)
     assert int(state.step) == 1
+
+
+def test_infer_e2e_cli(lj_corpus, tmp_path):
+    """npy-mel -> wav end-to-end CLI (reference inference_e2e.py surface)."""
+    import json as _json
+
+    from hifigan_tpu.cli.infer_e2e import inference_e2e
+    from hifigan_tpu.data.meldataset import mel_spectrogram_np
+    from hifigan_tpu.audio.io import load_wav
+    from hifigan_tpu.models import Generator
+    from hifigan_tpu.train.checkpoint import save_checkpoint
+
+    h = tiny_train_config()
+    mels_dir = tmp_path / "mels"
+    mels_dir.mkdir()
+    wav_path = next((lj_corpus / "wavs").glob("*.wav"))
+    wav, _ = load_wav(str(wav_path))
+    mel = mel_spectrogram_np(
+        wav[0], h.n_fft, h.num_mels, h.sampling_rate, h.hop_size, h.win_size, h.fmin, h.fmax
+    )
+    np.save(mels_dir / "utt1.npy", mel.astype(np.float32))
+
+    ckpt_dir = tmp_path / "cp"
+    ckpt_dir.mkdir()
+    gen = Generator(h)
+    params = gen.init(jax.random.PRNGKey(0), np.zeros((1, h.num_mels, 8), np.float32))["params"]
+    save_checkpoint(str(ckpt_dir / "g_00000100"), {"generator": params})
+    with open(ckpt_dir / "config.json", "w") as f:
+        _json.dump(dict(h), f)
+
+    a = AttrDict(
+        input_mels_dir=str(mels_dir),
+        output_dir=str(tmp_path / "out"),
+        checkpoint_file=str(ckpt_dir / "g_00000100"),
+    )
+    inference_e2e(a, h)
+    outs = list((tmp_path / "out").glob("*_generated_e2e.wav"))
+    assert len(outs) == 1
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(outs[0])
+    assert sr == h.sampling_rate and data.shape[0] == mel.shape[1] * h.hop_size
