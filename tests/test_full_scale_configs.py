@@ -1,0 +1,118 @@
+"""Shape-validate the PRODUCTION-scale distillation configs (the reference's
+shipped config/config.json: embedding 273, expansion 4, 12-layer all-in-one
+discriminator) via jax.eval_shape — no compute, full DSL arithmetic."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hifigan_tpu.distill.model import embedding_size_from_layers
+from hifigan_tpu.dsl.classifiers import generate_keepers_config_by_example
+from hifigan_tpu.dsl.module import ConfigurableModule
+from hifigan_tpu.dsl.parsing import parse_layers
+from hifigan_tpu.dsl.static_configs import (
+    get_discriminator_config,
+    get_generator_configs,
+)
+
+REF_CONFIG = "/root/reference/config/config.json"
+
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.exists(REF_CONFIG), reason="reference config not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def shipped():
+    return json.load(open(REF_CONFIG))
+
+
+def _params_count(tree):
+    return int(sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(tree)))
+
+
+def test_full_scale_autoencoder_shapes(shipped):
+    gen_layers = parse_layers(shipped["models"]["generator"]["layers"])
+    emb = embedding_size_from_layers(gen_layers)
+    assert emb == 273  # strides 1*3*7*13
+    expansion = shipped["models"]["generator"]["expansion"]
+    seg = shipped["loops"]["train"]["segment_length"]
+    assert seg % emb == 0
+
+    cfgs = get_generator_configs(gen_layers, expansion_size=expansion, embedding_size=emb)
+    enc = ConfigurableModule(config=cfgs["encoder"])
+    dec = ConfigurableModule(config=cfgs["decoder"])
+    x = jnp.zeros((1, seg, 1))
+
+    enc_vars = jax.eval_shape(lambda: enc.init(jax.random.PRNGKey(0), x))
+    assert _params_count(enc_vars) > 5_000_000
+
+    emb_shape = jax.eval_shape(
+        lambda: enc.apply(jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), enc_vars), x)
+    )
+    assert set(emb_shape.keys()) == {"content", "style"}
+    assert emb_shape["content"].shape == (1, seg // emb, expansion * emb // 2)
+
+    dec_vars = jax.eval_shape(
+        lambda: dec.init(
+            jax.random.PRNGKey(0), {k: jnp.zeros(v.shape, v.dtype) for k, v in emb_shape.items()}
+        )
+    )
+    wav = jax.eval_shape(
+        lambda: dec.apply(
+            jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), dec_vars),
+            {k: jnp.zeros(v.shape, v.dtype) for k, v in emb_shape.items()},
+        )
+    )
+    assert wav.shape == (1, seg, 1)  # exact reconstruction geometry
+
+
+def test_full_scale_discriminator_and_keepers(shipped):
+    seg = shipped["loops"]["train"]["segment_length"]
+    disc_layers = parse_layers(shipped["models"]["discriminator"]["layers"])
+    dcfg = get_discriminator_config(
+        disc_layers,
+        expansion_size=shipped["models"]["discriminator"]["expansion"],
+        ensemble_size=shipped["models"]["discriminator"]["ensemble"],
+    )
+    disc = ConfigurableModule(config=dcfg, mel_sampling_rate_override=shipped["sampling_rate"])
+    x = jnp.zeros((1, seg, 1))
+    d_vars = jax.eval_shape(lambda: disc.init({"params": jax.random.PRNGKey(0)}, x))
+    assert _params_count(d_vars.get("params", d_vars)) > 1_000_000
+    out = jax.eval_shape(
+        lambda: disc.apply(
+            jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), d_vars), x
+        )
+    )
+    assert set(out.keys()) == {"output", "features"}
+    assert set(out["output"].keys()) == {"mean", "variance"}
+    assert len(out["features"]) > 0
+
+    gen_layers = parse_layers(shipped["models"]["generator"]["layers"])
+    emb = embedding_size_from_layers(gen_layers)
+    half = shipped["models"]["generator"]["expansion"] * emb // 2
+    example = {
+        "content": {"speaker": list(range(40)), "sex": list(range(3)),
+                    "phones": list(range(72)), "sad": list(range(3))},
+        "style": {"mic-brand": list(range(7)),
+                  **{k: list(range(5)) for k in
+                     ["noise", "rir", "lowpass", "highpass", "reverb", "codec", "hilbert"]}},
+    }
+    kc = generate_keepers_config_by_example(
+        half, example, layers=parse_layers(shipped["models"]["keepers"]["layers"]),
+        ensemble_size=shipped["models"]["keepers"]["ensemble"],
+    )
+    km = ConfigurableModule(config=kc["content"])
+    emb_half = jnp.zeros((1, seg // emb, half))
+    k_vars = jax.eval_shape(lambda: km.init(jax.random.PRNGKey(0), emb_half))
+    out = jax.eval_shape(
+        lambda: km.apply(
+            jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), k_vars), emb_half
+        )
+    )
+    probs = out["mean"]["content"]
+    assert probs["phones"].shape == (1, seg // emb, 72)
