@@ -252,3 +252,35 @@ def test_keepers_hunters_configs():
     vh = hm.init(jax.random.PRNGKey(0), x)
     yh = hm.apply(vh, x)
     assert set(yh["mean"].keys()) == {"style"}
+
+
+def test_valve_decay_callback_updates_tagged_ratios():
+    from hifigan_tpu.callbacks.valves import ValveDecayCallback
+    from hifigan_tpu.dsl.static_configs import get_decaying_block
+
+    cfg = get_decaying_block(1.0, "skip", "anti", 4, ("conv", (4, 4, 3, 1, 1, 1, 0.01)))
+    mod = ConfigurableModule(config=cfg)
+    x = jnp.zeros((1, 8, 4))
+    variables = mod.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x)
+    assert "valves" in variables
+    names = list(variables["valves"].keys())
+    assert any("skip" in n for n in names) and any("anti" in n for n in names)
+
+    cb = ValveDecayCallback(
+        {"skip": {"anti": "anti", "start": 10, "limit": 100, "decay": 0.9, "anti_decay": 0.9}},
+        valves_steps=1,
+    )
+    # before start: skip ratio 1, anti ratio 1
+    v0 = cb.update_valves(variables, global_step=0)
+    for name, leaf in v0["valves"].items():
+        np.testing.assert_allclose(float(leaf), 1.0)
+    # mid-schedule: skip decays, anti = 1 - decay^(t-start)
+    v50 = cb.update_valves(variables, global_step=50)
+    skip_val = [float(l) for n, l in v50["valves"].items() if "skip" in n][0]
+    anti_val = [float(l) for n, l in v50["valves"].items() if "anti" in n][0]
+    np.testing.assert_allclose(skip_val, 0.9 ** 40, rtol=1e-5)
+    np.testing.assert_allclose(anti_val, 1 - 0.9 ** 40, rtol=1e-5)
+    # past limit: both 0
+    v200 = cb.update_valves(variables, global_step=200)
+    for name, leaf in v200["valves"].items():
+        np.testing.assert_allclose(float(leaf), 0.0)
