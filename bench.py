@@ -6,11 +6,13 @@ V100 at 22.05 kHz. North star (BASELINE.json): >=500x per TPU v5e chip.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Method: folded-weight-norm V1 generator, bfloat16 compute (MXU path),
-batch 32 x 256 mel frames (= 2.1 M samples = 95 s of audio per call).
+batch 128 x 256 mel frames (= 8.4 M samples = 380 s of audio per call).
 Timing chains each call's output into an on-device accumulator and fetches
 once at the end — block_until_ready alone under-reports through the axon
 tunnel (async completion), so sequential data dependency forces real
-execution. Measured on TPU v5e: ~1285x real-time.
+execution. Measured on TPU v5e: ~1285x real-time at batch 32,
+~2644x at batch 128 (throughput scales sub-linearly with batch; the
+32-channel tail stages are MXU-utilisation-bound).
 """
 
 from __future__ import annotations
@@ -29,7 +31,7 @@ BASELINE_RTF = 167.9  # V100, reference README.md:17-18
 
 def main() -> None:
     h = get_config("v1")
-    batch, frames = 32, 256
+    batch, frames = 128, 256
     sr = h["sampling_rate"]
 
     gen = Generator(h, dtype=jnp.bfloat16)
