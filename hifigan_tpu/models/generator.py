@@ -34,6 +34,7 @@ class ResBlock1(nn.Module):
     kernel_size: int = 3
     dilation: Sequence[int] = (1, 3, 5)
     norm: str = "weight"
+    time_block: int = 1
     precision: Any = None
 
     @nn.compact
@@ -46,6 +47,7 @@ class ResBlock1(nn.Module):
                 padding=torch_same_padding(self.kernel_size, d),
                 dilation=d,
                 norm=self.norm,
+                time_block=self.time_block,
                 precision=self.precision,
                 name=f"convs1_{i}",
             )(xt)
@@ -56,6 +58,7 @@ class ResBlock1(nn.Module):
                 padding=torch_same_padding(self.kernel_size, 1),
                 dilation=1,
                 norm=self.norm,
+                time_block=self.time_block,
                 precision=self.precision,
                 name=f"convs2_{i}",
             )(xt)
@@ -70,6 +73,7 @@ class ResBlock2(nn.Module):
     kernel_size: int = 3
     dilation: Sequence[int] = (1, 3)
     norm: str = "weight"
+    time_block: int = 1
     precision: Any = None
 
     @nn.compact
@@ -82,6 +86,7 @@ class ResBlock2(nn.Module):
                 padding=torch_same_padding(self.kernel_size, d),
                 dilation=d,
                 norm=self.norm,
+                time_block=self.time_block,
                 precision=self.precision,
                 name=f"convs_{i}",
             )(xt)
@@ -100,6 +105,8 @@ class Generator(nn.Module):
     h: Any
     folded: bool = False  # True after fold_weight_norm (inference)
     dtype: Any = jnp.float32  # compute dtype (bfloat16 for speed)
+    narrow_channel_block: int = 0  # >0: time-block resblock convs when
+    # channels <= 128 // block (free reshape; big MXU-utilisation win)
     precision: Any = None
 
     @nn.compact
@@ -138,11 +145,14 @@ class Generator(nn.Module):
             for j, (rk, rd) in enumerate(
                 zip(h["resblock_kernel_sizes"], h["resblock_dilation_sizes"])
             ):
+                # widest block that fills the 128 lanes for this stage
+                tb = max(1, min(self.narrow_channel_block, 128 // ch))
                 out = resblock_cls(
                     channels=ch,
                     kernel_size=rk,
                     dilation=tuple(rd),
                     norm=norm,
+                    time_block=tb,
                     precision=self.precision,
                     name=f"resblocks_{i * num_kernels + j}",
                 )(x)

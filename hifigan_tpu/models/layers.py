@@ -31,8 +31,10 @@ import jax.numpy as jnp
 
 from hifigan_tpu.ops.conv import (
     conv1d,
+    conv1d_time_blocked,
     conv2d,
     conv_transpose1d,
+    torch_same_padding,
     weight_norm_kernel,
 )
 
@@ -123,7 +125,11 @@ class _NormConvBase(nn.Module):
 
 
 class NormConv1d(_NormConvBase):
-    """Conv1d over (N, W, C). torch-exact integer padding semantics."""
+    """Conv1d over (N, W, C). torch-exact integer padding semantics.
+
+    ``time_block > 1`` computes 'same'-padded square stride-1 convs in a
+    time-blocked layout (ops.conv.conv1d_time_blocked) — several-fold faster
+    on TPU for narrow channel counts; numerically exact."""
 
     features: int = 0
     kernel_size: int = 1
@@ -132,6 +138,7 @@ class NormConv1d(_NormConvBase):
     dilation: int = 1
     groups: int = 1
     use_bias: bool = True
+    time_block: int = 1
     precision: Any = None
 
     @nn.compact
@@ -151,6 +158,19 @@ class NormConv1d(_NormConvBase):
             else None
         )
         x, kernel, bias = self._cast(x, kernel, bias)
+        if (
+            self.time_block > 1
+            and self.stride == 1
+            and self.groups == 1
+            and in_ch == self.features
+            and self.kernel_size % 2 == 1
+            and self.padding == torch_same_padding(self.kernel_size, self.dilation)
+            and x.shape[1] % self.time_block == 0
+        ):
+            return conv1d_time_blocked(
+                x, kernel, bias, dilation=self.dilation, block=self.time_block,
+                precision=self.precision,
+            )
         return conv1d(
             x,
             kernel,

@@ -236,3 +236,73 @@ def reflect_pad_1d(x: jax.Array, pad: tuple[int, int], axis: int = 1) -> jax.Arr
     cfg = [(0, 0)] * x.ndim
     cfg[axis] = pad
     return jnp.pad(x, cfg, mode="reflect")
+
+
+def conv1d_time_blocked(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+    dilation: int = 1,
+    block: int = 4,
+    precision=None,
+) -> jax.Array:
+    """'same'-padded stride-1 conv computed in a time-blocked layout.
+
+    The narrow tail of the generator (C=32..64) starves the MXU (channels
+    land on the 128-wide lane dim). Folding ``block`` consecutive time steps
+    into channels — a free row-major reshape (B, T, C) -> (B, T/block,
+    block*C) — turns each k-tap CxC conv into an nq-tap (block*C)x(block*C)
+    block conv whose per-tap matrices scatter the original taps by phase:
+
+        y4[n, r*C+o] = sum_q x4[n+q] @ K[q],
+        K[q][rho*C + i, r*C + o] = sum_{tau: q(tau,r)=q, rho(tau,r)=rho} W[tau,i,o]
+
+    with q, rho the block/phase of each tap offset. Denser MACs
+    (~nq*block^2/k x) but near-full MXU lanes — measured several-fold faster
+    for the 32-channel stages. Exact (incl. zero boundary semantics) for
+    odd k, stride 1, groups 1; validated against conv1d in tests.
+    """
+    import numpy as np
+
+    k, in_ch, out_ch = kernel.shape
+    assert in_ch == out_ch, "time-blocked conv: square channels only"
+    b, t, c = x.shape
+    assert t % block == 0, "time length must be divisible by the block factor"
+    p = (k - 1) * dilation // 2
+
+    # tap -> (block offset, phase) per output phase r
+    tau = np.arange(k)[:, None]
+    r = np.arange(block)[None, :]
+    off = tau * dilation - p  # (k, 1)
+    q = (r + off) // block  # (k, block)
+    rho = (r + off) % block
+    q_min, q_max = int(q.min()), int(q.max())
+    nq = q_max - q_min + 1
+
+    # scatter W into the block kernel (host-side indices; traced gather-add)
+    big = jnp.zeros((nq, block * c, block * c), kernel.dtype)
+    flat_idx = (
+        (q - q_min) * (block * block) + rho * block + r
+    ).reshape(-1)  # index into (nq, rho, r)
+    big = big.reshape(nq * block * block, c, c).at[jnp.asarray(flat_idx)].add(
+        jnp.repeat(kernel, block, axis=0).reshape(k * block, c, c)
+    )
+    big = (
+        big.reshape(nq, block, block, c, c)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(nq, block * c, block * c)
+    )
+
+    x4 = x.reshape(b, t // block, block * c)
+    y4 = jax.lax.conv_general_dilated(
+        x4,
+        big,
+        window_strides=(1,),
+        padding=((-q_min, q_max),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=precision,
+    )
+    y = y4.reshape(b, t, c)
+    if bias is not None:
+        y = y + bias
+    return y

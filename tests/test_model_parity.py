@@ -173,3 +173,20 @@ def test_reference_losses_parity(reference_src, rng):
     np.testing.assert_allclose(float(got_d), float(ref_d), rtol=1e-5)
     np.testing.assert_allclose(float(got_g), float(ref_g), rtol=1e-5)
     np.testing.assert_allclose(float(got_f), float(ref_f), rtol=1e-5)
+
+
+@requires_reference
+@pytest.mark.parametrize("version", ["v1", "v3"])
+def test_generator_blocked_tail_parity(reference_src, version, rng):
+    """narrow_channel_block (time-blocked tail convs) stays torch-exact."""
+    import torch
+
+    gen, h = _ref_generator(reference_src, version)
+    mel = rng.standard_normal((1, 80, 16)).astype(np.float32) * 2.0 - 5.0
+    with torch.no_grad():
+        ref_wav = gen(torch.from_numpy(mel)).numpy()
+
+    variables = convert_torch_generator(gen.state_dict())
+    ours = Generator(get_config(version), narrow_channel_block=4)
+    got = np.asarray(ours.apply(variables, jnp.asarray(mel)))
+    np.testing.assert_allclose(got, ref_wav, atol=2e-4, rtol=1e-4)
