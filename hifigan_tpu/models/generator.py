@@ -105,8 +105,10 @@ class Generator(nn.Module):
     h: Any
     folded: bool = False  # True after fold_weight_norm (inference)
     dtype: Any = jnp.float32  # compute dtype (bfloat16 for speed)
-    narrow_channel_block: int = 0  # >0: time-block resblock convs when
-    # channels <= 128 // block (free reshape; big MXU-utilisation win)
+    narrow_channel_block: int = 0  # >0: time-block narrow resblock convs
+    # (exact; see ops.conv.conv1d_time_blocked). Measured SLOWER on v5e for
+    # V1 inference (222 vs 144 ms at batch 128) — the tail is not MAC-bound
+    # there — kept as an option for other shapes/backends.
     precision: Any = None
 
     @nn.compact
