@@ -36,14 +36,14 @@ from __future__ import annotations
 from collections.abc import Mapping
 
 import math
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from hifigan_tpu.audio.mel import MelConfig, log_mel_spectrogram
-from hifigan_tpu.dsl.normalize import NODE, RLIST, SEQ, is_normalized, normalize_config
+from hifigan_tpu.dsl.normalize import RLIST, SEQ, is_normalized, normalize_config
 from hifigan_tpu.models.layers import NormConv1d, NormConv2d, NormConvTranspose1d
 from hifigan_tpu.ops.conv import avg_pool1d, leaky_relu
 

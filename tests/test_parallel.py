@@ -67,3 +67,31 @@ def test_halo_frames_positive_for_all_variants():
     for v in ("v1", "v2", "v3"):
         halo = generator_halo_frames(get_config(v))
         assert 4 < halo < 64, (v, halo)
+
+
+def test_tensor_parallel_train_step():
+    """Full vocoder GAN step on a ('data','model') dp x tp mesh with
+    column-parallel param shardings (the dryrun_multichip path)."""
+    import numpy as np
+
+    from hifigan_tpu.parallel.mesh import create_mesh, shard_batch, tensor_parallel_shardings
+    from hifigan_tpu.train.vocoder import create_train_state, make_train_step
+    from tests.test_train import tiny_config
+
+    h = tiny_config()
+    mesh = create_mesh(model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    state = create_train_state(h, jax.random.PRNGKey(0))
+    state_sh = tensor_parallel_shardings(state, mesh, min_size=8)
+    state = jax.device_put(state, state_sh)
+    # at least one kernel leaf is actually sharded over 'model'
+    shardings = jax.tree_util.tree_leaves(state_sh)
+    assert any("model" in str(s.spec) for s in shardings)
+
+    step = make_train_step(h, mesh=mesh, donate=False, state_shardings=state_sh)
+    batch = shard_batch(
+        {"audio": np.random.default_rng(0).standard_normal((4, h["segment_size"])).astype(np.float32) * 0.1},
+        mesh,
+    )
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss_gen_all"]))
