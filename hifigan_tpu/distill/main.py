@@ -180,6 +180,18 @@ def train(config: dict, datasets: dict, logs_base: str = DEFAULT_LOGS_BASE,
     batch_size = config["loops"]["train"]["batch_size"]
 
     rng = jax.random.PRNGKey(rng_seed)
+
+    # sanity validation at train start (the reference's GlobalSyncCallback
+    # re-runs the sanity check manually, global_sync_callback.py:64-71)
+    if loop.global_step == 0 and "validation" in datasets and config.get("visualize", 1):
+        for vb in datasets["validation"].batches(batch_size, shuffle=False):
+            vb = {k: vb[k] for k in ("audio", "time_labels")}
+            rng, sub = jax.random.split(rng)
+            vlosses, vextra = eval_step(loop.state, vb, sub)
+            loop.fire("on_validation_batch_end", vlosses, jax.device_get(vextra))
+            break  # num_sanity_val_steps = visualize
+        loop.fire("on_validation_end")
+
     step_count = loop.global_step
     epoch = 0
     while loop.global_step < max_steps and not loop.stop_requested:
