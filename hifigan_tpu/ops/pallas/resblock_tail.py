@@ -1,0 +1,216 @@
+"""Fused multi-ResBlock Pallas kernel for the generator's narrow tail.
+
+The last upsampling stages run 13-19 convolutions at 32-64 channels over
+hundreds of thousands of samples; XLA executes each as a separate HBM-
+roundtripping conv at ~1-2% MXU utilisation (channels << 128 lanes). This
+kernel computes an ENTIRE stage's MRF (mean of num_kernels ResBlock1/2
+stacks, reference src/models.py:100-111) in one pass per time tile:
+
+- the tile (plus the stage's receptive-field halo) is DMA'd into VMEM once;
+  every intermediate activation of every resblock stays in VMEM;
+- activations are held in a time-blocked layout (T/b, b*C = 128 lanes) so
+  every conv is a chain of full-width (128, 128) MXU matmuls;
+- each k-tap dilation-d conv becomes sum_q shift(x, q) @ K[q] with the block
+  kernels K (nq, 128, 128) precomputed HOST-SIDE by scattering the original
+  (k, C, C) taps by phase (same construction as ops.conv.conv1d_time_blocked).
+
+Semantics == mean of ResBlock1/ResBlock2 outputs; validated against the jnp
+model in interpreter mode and on hardware (tests/test_pallas_tail.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hifigan_tpu.ops.conv import LRELU_SLOPE
+
+
+def _blocked_kernel_np(kernel: np.ndarray, dilation: int, block: int) -> tuple[np.ndarray, int]:
+    """(k, C, C) tap kernel -> ((nq, block*C, block*C), q_min) block kernels."""
+    k, c, _ = kernel.shape
+    p = (k - 1) * dilation // 2
+    tau = np.arange(k)[:, None]
+    r = np.arange(block)[None, :]
+    off = tau * dilation - p
+    q = (r + off) // block
+    rho = (r + off) % block
+    q_min, q_max = int(q.min()), int(q.max())
+    nq = q_max - q_min + 1
+    big = np.zeros((nq, block, block, c, c), np.float32)
+    for ti in range(k):
+        for ri in range(block):
+            big[q[ti, ri] - q_min, rho[ti, ri], ri] += np.asarray(kernel[ti], np.float32)
+    big = big.transpose(0, 1, 3, 2, 4).reshape(nq, block * c, block * c)
+    return big, q_min
+
+
+def prepare_tail_stage(params_stage, dilations, block: int, pair_size: int) -> dict:
+    """Pack one stage's resblock conv params for the fused kernel.
+
+    params_stage: [resblock][conv] dicts with 'kernel' (k, C, C) and 'bias'
+    (C,), in execution order. pair_size: convs per residual connection —
+    2 for ResBlock1 (dilated+unit), 1 for ResBlock2.
+    """
+    packed = []
+    for convs, ds in zip(params_stage, dilations):
+        rb_pack = []
+        for conv, d in zip(convs, ds):
+            big, q_min = _blocked_kernel_np(np.asarray(conv["kernel"]), int(d), block)
+            bias = np.tile(np.asarray(conv["bias"], np.float32), block)
+            rb_pack.append({"big": big, "q_min": q_min, "bias": bias})
+        packed.append(rb_pack)
+    return {"resblocks": packed, "block": block, "pair_size": pair_size}
+
+
+def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
+                     tile_blocks: int = 512) -> jax.Array:
+    """x: (B, T, C) -> mean of resblock outputs, same shape (the MRF stage)."""
+    block = packed["block"]
+    pair_size = packed["pair_size"]
+    b, t, c = x.shape
+    lanes = block * c
+    assert t % block == 0, "time must divide the block factor"
+    t_blocks_total = t // block
+
+    # conservative stage halo (blocks): longest resblock chain's per-conv radii
+    halo_b = max(
+        sum(cv["big"].shape[0] // 2 + 1 for cv in rb) for rb in packed["resblocks"]
+    )
+
+    tile_b = min(tile_blocks, t_blocks_total)
+    n_tiles = -(-t_blocks_total // tile_b)
+    pad_b = n_tiles * tile_b - t_blocks_total
+    x4 = x.reshape(b, t_blocks_total, lanes)
+    if pad_b:
+        x4 = jnp.pad(x4, ((0, 0), (0, pad_b), (0, 0)))
+    total_b = t_blocks_total + pad_b
+    work = tile_b + 2 * halo_b
+
+    weights: list[jax.Array] = []
+    spans: list[list[tuple[int, int]]] = []
+    for rb in packed["resblocks"]:
+        rb_spans = []
+        for cv in rb:
+            weights.append(jnp.asarray(cv["big"], x.dtype))
+            weights.append(jnp.asarray(cv["bias"], x.dtype))
+            rb_spans.append((cv["big"].shape[0], cv["q_min"]))
+        spans.append(rb_spans)
+    n_rb = len(spans)
+    # widest single-conv shift, for the zero-padded work buffer
+    qmax_abs = max(
+        max(abs(q_min), q_min + nq - 1) for rb in spans for (nq, q_min) in rb
+    )
+
+    flat_spans = [sp for rb in spans for sp in rb]
+
+    def kernel(x_ref, *refs):
+        # arg order: inputs, outputs, scratch
+        sem = refs[-1]
+        pad_buf = refs[-2]  # (work + 2*qmax_abs, lanes) zero-bordered scratch
+        xw = refs[-3]  # (work, lanes) VMEM scratch
+        out_ref = refs[-4]
+        w_refs = refs[:-4]
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+
+        dma = pltpu.make_async_copy(x_ref.at[bi, pl.ds(ti * tile_b, work), :], xw, sem)
+        dma.start()
+        # zero the pad borders once; conv writes only touch the centre
+        pad_buf[0:qmax_abs, :] = jnp.zeros((qmax_abs, lanes), pad_buf.dtype)
+        pad_buf[qmax_abs + work :, :] = jnp.zeros((qmax_abs, lanes), pad_buf.dtype)
+        dma.wait()
+        x0 = xw[:, :]
+        dtype = x0.dtype
+
+        # outside-sequence mask: the unsharded model zero-pads EVERY layer at
+        # the true sequence edges; keep those rows zero through the chain
+        row = jax.lax.broadcasted_iota(jnp.int32, (work, 1), 0)
+        left = jnp.where(ti == 0, halo_b, 0)
+        right = jnp.minimum(t_blocks_total - ti * tile_b + halo_b, work)
+        seq_mask = ((row >= left) & (row < right)).astype(dtype)
+
+        def conv(tcur, wi):
+            nq, q_min = flat_spans[wi // 2]
+            K = w_refs[wi]
+            bias = w_refs[wi + 1]
+            pad_buf[qmax_abs : qmax_abs + work, :] = tcur * seq_mask
+            accum = jnp.zeros((work, lanes), jnp.float32)
+            for qi in range(nq):
+                q = q_min + qi
+                seg = pad_buf[qmax_abs + q : qmax_abs + q + work, :]
+                accum = accum + jnp.dot(seg, K[qi], preferred_element_type=jnp.float32)
+            bias_val = bias[:].astype(jnp.float32)
+            return (accum + bias_val[None, :]).astype(dtype)
+
+        acc = jnp.zeros((work, lanes), jnp.float32)
+        wi = 0
+        for rb_spans in spans:
+            h = x0
+            n_pairs = len(rb_spans) // pair_size
+            for _pair in range(n_pairs):
+                tcur = h
+                for _ in range(pair_size):
+                    tcur = jnp.where(tcur >= 0, tcur, tcur * LRELU_SLOPE)
+                    tcur = conv(tcur, wi)
+                    wi += 2
+                h = h + tcur
+            acc = acc + h.astype(jnp.float32)
+        out = (acc / n_rb).astype(dtype)
+        out_ref[0, :, :] = out[halo_b : halo_b + tile_b, :]
+
+    x4p = jnp.pad(x4, ((0, 0), (halo_b, halo_b), (0, 0)))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights],
+        out_specs=pl.BlockSpec(
+            (1, tile_b, lanes), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, total_b, lanes), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((work, lanes), x.dtype),
+            pltpu.VMEM((work + 2 * qmax_abs, lanes), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x4p, *weights)
+    return out[:, :t_blocks_total, :].reshape(b, t, c)
+
+
+# ---------------------------------------------------------------------------
+# generator integration helpers
+# ---------------------------------------------------------------------------
+
+
+def pack_generator_tail(h, folded_params: dict, stage_index: int, block: int) -> dict:
+    """Extract stage `stage_index`'s resblock convs from folded Generator
+    params and pack them for :func:`fused_tail_stage`."""
+    num_kernels = len(h["resblock_kernel_sizes"])
+    is_rb1 = str(h["resblock"]) == "1"
+    pair_size = 2 if is_rb1 else 1
+    params_stage = []
+    dilations = []
+    for j in range(num_kernels):
+        rb = folded_params[f"resblocks_{stage_index * num_kernels + j}"]
+        convs = []
+        ds = []
+        rds = h["resblock_dilation_sizes"][j]
+        if is_rb1:
+            for i, d in enumerate(rds):
+                convs.append(rb[f"convs1_{i}"])
+                ds.append(d)
+                convs.append(rb[f"convs2_{i}"])
+                ds.append(1)
+        else:
+            for i, d in enumerate(rds):
+                convs.append(rb[f"convs_{i}"])
+                ds.append(d)
+        params_stage.append(convs)
+        dilations.append(ds)
+    return prepare_tail_stage(params_stage, dilations, block, pair_size)
