@@ -60,15 +60,29 @@ def prepare_tail_stage(params_stage, dilations, block: int, pair_size: int) -> d
         rb_pack = []
         for conv, d in zip(convs, ds):
             big, q_min = _blocked_kernel_np(np.asarray(conv["kernel"]), int(d), block)
-            bias = np.tile(np.asarray(conv["bias"], np.float32), block)
+            bias = np.tile(np.asarray(conv["bias"], np.float32), block)[None, :]  # 2-D for TPU
             rb_pack.append({"big": big, "q_min": q_min, "bias": bias})
         packed.append(rb_pack)
     return {"resblocks": packed, "block": block, "pair_size": pair_size}
 
 
 def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
-                     tile_blocks: int = 512) -> jax.Array:
-    """x: (B, T, C) -> mean of resblock outputs, same shape (the MRF stage)."""
+                     tile_blocks: int = 512, split_resblocks: bool = False) -> jax.Array:
+    """x: (B, T, C) -> mean of resblock outputs, same shape (the MRF stage).
+
+    ``split_resblocks=True`` runs one pallas call per resblock and averages
+    in XLA — 1/num_kernels the VMEM weight footprint per kernel (V1's k=11
+    stage packs ~5.7 MB of block kernels, which double-buffered can exhaust
+    VMEM in the monolithic form).
+    """
+    if split_resblocks and len(packed["resblocks"]) > 1:
+        n = len(packed["resblocks"])
+        acc = None
+        for rb in packed["resblocks"]:
+            sub = {"resblocks": [rb], "block": packed["block"], "pair_size": packed["pair_size"]}
+            out = fused_tail_stage(x, sub, interpret=interpret, tile_blocks=tile_blocks)
+            acc = out if acc is None else acc + out
+        return acc / n
     block = packed["block"]
     pair_size = packed["pair_size"]
     b, t, c = x.shape
@@ -76,10 +90,13 @@ def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
     assert t % block == 0, "time must divide the block factor"
     t_blocks_total = t // block
 
-    # conservative stage halo (blocks): longest resblock chain's per-conv radii
+    # conservative stage halo (blocks): longest resblock chain's per-conv
+    # radii, rounded to the f32 sublane tile (8) so every in-kernel slice
+    # offset stays aligned
     halo_b = max(
         sum(cv["big"].shape[0] // 2 + 1 for cv in rb) for rb in packed["resblocks"]
     )
+    halo_b = -(-halo_b // 8) * 8
 
     tile_b = min(tile_blocks, t_blocks_total)
     n_tiles = -(-t_blocks_total // tile_b)
@@ -100,10 +117,11 @@ def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
             rb_spans.append((cv["big"].shape[0], cv["q_min"]))
         spans.append(rb_spans)
     n_rb = len(spans)
-    # widest single-conv shift, for the zero-padded work buffer
+    # widest single-conv shift, for the zero-padded work buffer (8-aligned)
     qmax_abs = max(
         max(abs(q_min), q_min + nq - 1) for rb in spans for (nq, q_min) in rb
     )
+    qmax_abs = -(-qmax_abs // 8) * 8
 
     flat_spans = [sp for rb in spans for sp in rb]
 
@@ -143,7 +161,7 @@ def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
                 q = q_min + qi
                 seg = pad_buf[qmax_abs + q : qmax_abs + q + work, :]
                 accum = accum + jnp.dot(seg, K[qi], preferred_element_type=jnp.float32)
-            bias_val = bias[:].astype(jnp.float32)
+            bias_val = bias[0, :].astype(jnp.float32)
             return (accum + bias_val[None, :]).astype(dtype)
 
         acc = jnp.zeros((work, lanes), jnp.float32)
@@ -154,7 +172,10 @@ def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
             for _pair in range(n_pairs):
                 tcur = h
                 for _ in range(pair_size):
-                    tcur = jnp.where(tcur >= 0, tcur, tcur * LRELU_SLOPE)
+                    # max/min form — Mosaic lacks bf16 vector comparisons
+                    tcur = jnp.maximum(tcur, 0) + jnp.asarray(
+                        LRELU_SLOPE, tcur.dtype
+                    ) * jnp.minimum(tcur, 0)
                     tcur = conv(tcur, wi)
                     wi += 2
                 h = h + tcur
