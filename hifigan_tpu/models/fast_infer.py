@@ -1,0 +1,78 @@
+"""Fastest-path vocoder inference: XLA head + fused-Pallas tail.
+
+Builds a jittable mel->wav function from FOLDED generator params where the
+wide early stages (C >= 128) run as XLA convs and every narrow stage's MRF
+(the measured hot spot — stage profile in docs/OPERATIONS.md) runs through
+ops.pallas.resblock_tail.fused_tail_stage (time-blocked, VMEM-resident,
+1.9x the XLA stage time in bf16 on v5e).
+
+Exactness: the fused stages match the flax MRF to float tolerance
+(tests/test_pallas_tail.py); end-to-end parity asserted in
+tests/test_fast_infer.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from hifigan_tpu.ops.conv import LRELU_SLOPE, conv1d, conv_transpose1d, leaky_relu
+from hifigan_tpu.ops.pallas.resblock_tail import fused_tail_stage, pack_generator_tail
+
+
+def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
+                      tile_blocks: int = 512, interpret: bool = False):
+    """(folded params, h) -> jittable fn(mel (B, M, T)) -> wav (B, 1, T*hop).
+
+    The packed block kernels are baked in as constants (inference-only path;
+    rebuild after updating params).
+    """
+    num_kernels = len(h["resblock_kernel_sizes"])
+    stages = list(enumerate(zip(h["upsample_rates"], h["upsample_kernel_sizes"])))
+    ch0 = h["upsample_initial_channel"]
+
+    packs: dict[int, dict] = {}
+    for i, _ in stages:
+        ch = ch0 // (2 ** (i + 1))
+        if ch <= 64 and 128 % ch == 0:
+            packs[i] = pack_generator_tail(h, folded_params, i, block=128 // ch)
+
+    def cast(p):
+        return jax.tree_util.tree_map(lambda v: jnp.asarray(v, dtype), p)
+
+    params = cast(folded_params)
+
+    def mrf_xla(x, stage_idx, ch):
+        from hifigan_tpu.models.generator import ResBlock1, ResBlock2
+
+        cls = ResBlock1 if str(h["resblock"]) == "1" else ResBlock2
+        xs = None
+        for j, (rk, rd) in enumerate(zip(h["resblock_kernel_sizes"], h["resblock_dilation_sizes"])):
+            out = cls(channels=ch, kernel_size=rk, dilation=tuple(rd), norm="none").apply(
+                {"params": params[f"resblocks_{stage_idx * num_kernels + j}"]}, x
+            )
+            xs = out if xs is None else xs + out
+        return xs / num_kernels
+
+    def fn(mel: jax.Array) -> jax.Array:
+        x = jnp.swapaxes(mel, -1, -2).astype(dtype)
+        p = params["conv_pre"]
+        x = conv1d(x, p["kernel"], p["bias"], padding=3)
+        for i, (u, k) in stages:
+            ch = ch0 // (2 ** (i + 1))
+            x = leaky_relu(x, LRELU_SLOPE)
+            p = params[f"ups_{i}"]
+            x = conv_transpose1d(x, p["kernel"], p["bias"], stride=u, padding=(k - u) // 2)
+            if i in packs:
+                x = fused_tail_stage(x, packs[i], interpret=interpret, tile_blocks=tile_blocks)
+            else:
+                x = mrf_xla(x, i, ch)
+        x = leaky_relu(x, 0.01)
+        p = params["conv_post"]
+        x = conv1d(x, p["kernel"], p["bias"], padding=3)
+        x = jnp.tanh(x).astype(jnp.float32)
+        return jnp.swapaxes(x, -1, -2)
+
+    return fn
