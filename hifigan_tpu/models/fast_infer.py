@@ -1,14 +1,19 @@
-"""Fastest-path vocoder inference: XLA head + fused-Pallas tail.
+"""Vocoder inference with the fused-Pallas tail (optional path).
 
 Builds a jittable mel->wav function from FOLDED generator params where the
-wide early stages (C >= 128) run as XLA convs and every narrow stage's MRF
-(the measured hot spot — stage profile in docs/OPERATIONS.md) runs through
-ops.pallas.resblock_tail.fused_tail_stage (time-blocked, VMEM-resident,
-1.9x the XLA stage time in bf16 on v5e).
+narrow stages' MRF runs through ops.pallas.resblock_tail.fused_tail_stage
+(time-blocked, VMEM-resident).
+
+Measured on v5e: the fused stage wins in isolation at moderate batch
+(stage3: 19 ms vs 36 ms XLA, bf16, B=32) but at the bench's B=128 the plain
+XLA path is faster end-to-end (144 ms vs 160 ms with stage3 fused) — XLA's
+conv lowering amortises better with batch while the kernel's in-VMEM matmul
+chain plateaus at ~80 TF/s. The default inference path therefore stays pure
+XLA; this module is the measured alternative for small-batch / low-latency
+serving.
 
 Exactness: the fused stages match the flax MRF to float tolerance
-(tests/test_pallas_tail.py); end-to-end parity asserted in
-tests/test_fast_infer.py.
+(tests/test_pallas_tail.py); end-to-end parity in tests/test_fast_infer.py.
 """
 
 from __future__ import annotations
@@ -23,7 +28,8 @@ from hifigan_tpu.ops.pallas.resblock_tail import fused_tail_stage, pack_generato
 
 
 def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
-                      tile_blocks: int = 512, interpret: bool = False):
+                      tile_blocks: int = 512, interpret: bool = False,
+                      min_fused_stage: int = 0):
     """(folded params, h) -> jittable fn(mel (B, M, T)) -> wav (B, 1, T*hop).
 
     The packed block kernels are baked in as constants (inference-only path;
@@ -36,7 +42,7 @@ def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
     packs: dict[int, dict] = {}
     for i, _ in stages:
         ch = ch0 // (2 ** (i + 1))
-        if ch <= 64 and 128 % ch == 0:
+        if ch <= 64 and 128 % ch == 0 and i >= min_fused_stage:
             packs[i] = pack_generator_tail(h, folded_params, i, block=128 // ch)
 
     def cast(p):
