@@ -117,3 +117,40 @@ def test_hann_window_periodic():
     w = hann_window(16)
     assert w[0] == 0.0
     assert abs(w[8] - 1.0) < 1e-7  # periodic window peaks at N/2
+
+
+def test_mel_filterbank_slaney_matches_independent_construction():
+    """Cross-check the Slaney filterbank against a from-scratch loop
+    implementation of librosa's published algorithm (independent of the
+    vectorised slope construction in audio/mel.py)."""
+    import math
+
+    sr, n_fft, n_mels, fmin, fmax = 22050, 512, 20, 0.0, 8000.0
+
+    def hz_to_mel(f):
+        if f >= 1000.0:
+            return 15.0 + math.log(f / 1000.0) / (math.log(6.4) / 27.0)
+        return f / (200.0 / 3)
+
+    def mel_to_hz(m):
+        if m >= 15.0:
+            return 1000.0 * math.exp((math.log(6.4) / 27.0) * (m - 15.0))
+        return m * (200.0 / 3)
+
+    mel_pts = [
+        mel_to_hz(hz_to_mel(fmin) + (hz_to_mel(fmax) - hz_to_mel(fmin)) * i / (n_mels + 1))
+        for i in range(n_mels + 2)
+    ]
+    n_freqs = n_fft // 2 + 1
+    freqs = [sr / 2 * i / (n_freqs - 1) for i in range(n_freqs)]
+    expected = np.zeros((n_freqs, n_mels))
+    for m in range(n_mels):
+        lo, ctr, hi = mel_pts[m], mel_pts[m + 1], mel_pts[m + 2]
+        enorm = 2.0 / (hi - lo)
+        for i, f in enumerate(freqs):
+            if lo < f < hi:
+                w = (f - lo) / (ctr - lo) if f <= ctr else (hi - f) / (hi - ctr)
+                expected[i, m] = max(0.0, w) * enorm
+
+    got = mel_filterbank(sr, n_fft, n_mels, fmin, fmax, mel_scale="slaney", norm="slaney")
+    np.testing.assert_allclose(got, expected, atol=1e-6)
