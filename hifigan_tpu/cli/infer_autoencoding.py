@@ -32,12 +32,15 @@ def main() -> None:
     with open(os.path.join(a.experiment_dir, "config.yaml")) as f:
         config = yaml.load(f, yaml.FullLoader)
 
-    from hifigan_tpu.distill.main import load_distill_state
+    from flax import serialization
+
     from hifigan_tpu.distill.model import DistillModels
     from hifigan_tpu.distill.train import DistillTrainer
 
     # Labels/weights only shape the classifiers; autoencoding needs
-    # encoder+decoder, so placeholders suffice when no dataset is mounted.
+    # encoder+decoder, so placeholders suffice when no dataset is mounted —
+    # and only the encoder/decoder subtrees are restored from the checkpoint
+    # (the classifier trees depend on the label taxonomy).
     placeholder = {"content": {"sad": ("none", "silence", "speech")}, "style": {"mic-brand": ("none",)}}
     weights = {
         g: {k: {"true": tuple([1.0] * len(v)), "false": tuple([1.0] * len(v))} for k, v in gg.items()}
@@ -50,8 +53,15 @@ def main() -> None:
     )
     ckpt = os.path.join(a.experiment_dir, "checkpoints", "latest")
     if os.path.exists(ckpt):
-        state = load_distill_state(ckpt, state)
-        print(f"Loaded {ckpt} (step {int(state.step)})")
+        with open(ckpt, "rb") as f:
+            restored = serialization.msgpack_restore(f.read())
+        variables = dict(state.variables)
+        for key in ("encoder", "decoder"):
+            variables[key] = serialization.from_state_dict(
+                state.variables[key], restored["variables"][key]
+            )
+        state = state.replace(variables=variables)
+        print(f"Loaded {ckpt} (encoder/decoder restored, step {restored.get('step')})")
 
     encode = jax.jit(lambda v, x: models.encoder.apply(v, x))
     decode = jax.jit(lambda v, e: models.decoder.apply(v, e))

@@ -182,3 +182,37 @@ def test_sniffer_trainer(corpus):  # noqa: F811
     eval_step = trainer.make_eval_step()
     losses, preds = eval_step(s2, batch)
     assert "style" in preds  # content sniffer predicts the other group
+
+
+def test_infer_autoencoding_cli(corpus, tmp_path, monkeypatch):  # noqa: F811
+    """Autoencoding inference CLI: saved experiment -> wav -> wav files."""
+    from hifigan_tpu.distill.main import initialize, save_distill_state
+
+    config = small_distill_config()
+    ds = make_dataset(corpus)
+    datasets = {"train": ds, "validation": ds}
+    logs = tmp_path / "logs"
+    models, trainer, loop = initialize(config, datasets, logs_base=str(logs))
+    exp_dir = logs / "test_exp" / "version_1"
+    save_distill_state(str(exp_dir / "checkpoints" / "latest"), loop.state)
+
+    # the CLI reads config.yaml (written by initialize) and autoencodes wavs
+    import glob as _glob
+
+    wav_dir = next(iter(_glob.glob(str(tmp_path / ".." / "**" / "wavs"), recursive=True)), None)
+    from pathlib import Path
+    wav_src = Path(corpus["data"]) / "mini" / "wavs"
+    out_dir = tmp_path / "auto_out"
+
+    import sys as _sys
+
+    from hifigan_tpu.cli import infer_autoencoding
+
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["infer_autoencoding", "--input_wavs_dir", str(wav_src),
+         "--output_dir", str(out_dir), "--experiment_dir", str(exp_dir)],
+    )
+    infer_autoencoding.main()
+    outs = list(out_dir.glob("*_autoencoded.wav"))
+    assert len(outs) == 4
