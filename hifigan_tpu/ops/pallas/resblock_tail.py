@@ -45,7 +45,12 @@ def _blocked_kernel_np(kernel: np.ndarray, dilation: int, block: int) -> tuple[n
         for ri in range(block):
             big[q[ti, ri] - q_min, rho[ti, ri], ri] += np.asarray(kernel[ti], np.float32)
     big = big.transpose(0, 1, 3, 2, 4).reshape(nq, block * c, block * c)
-    return big, q_min
+    # dilated convs leave many all-zero tap slots in the dense q range —
+    # keep only live taps (the kernel loops an explicit (slot, q) list)
+    live = [qi for qi in range(nq) if np.abs(big[qi]).sum() > 0]
+    big = big[live]
+    live_q = [q_min + qi for qi in live]
+    return big, live_q
 
 
 def prepare_tail_stage(params_stage, dilations, block: int, pair_size: int) -> dict:
@@ -59,9 +64,9 @@ def prepare_tail_stage(params_stage, dilations, block: int, pair_size: int) -> d
     for convs, ds in zip(params_stage, dilations):
         rb_pack = []
         for conv, d in zip(convs, ds):
-            big, q_min = _blocked_kernel_np(np.asarray(conv["kernel"]), int(d), block)
+            big, live_q = _blocked_kernel_np(np.asarray(conv["kernel"]), int(d), block)
             bias = np.tile(np.asarray(conv["bias"], np.float32), block)[None, :]  # 2-D for TPU
-            rb_pack.append({"big": big, "q_min": q_min, "bias": bias})
+            rb_pack.append({"big": big, "live_q": tuple(live_q), "bias": bias})
         packed.append(rb_pack)
     return {"resblocks": packed, "block": block, "pair_size": pair_size}
 
@@ -94,7 +99,8 @@ def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
     # radii, rounded to the f32 sublane tile (8) so every in-kernel slice
     # offset stays aligned
     halo_b = max(
-        sum(cv["big"].shape[0] // 2 + 1 for cv in rb) for rb in packed["resblocks"]
+        sum(max(abs(q) for q in cv["live_q"]) + 1 for cv in rb)
+        for rb in packed["resblocks"]
     )
     halo_b = -(-halo_b // 8) * 8
 
@@ -108,19 +114,17 @@ def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
     work = tile_b + 2 * halo_b
 
     weights: list[jax.Array] = []
-    spans: list[list[tuple[int, int]]] = []
+    spans: list[list[tuple[int, ...]]] = []
     for rb in packed["resblocks"]:
         rb_spans = []
         for cv in rb:
             weights.append(jnp.asarray(cv["big"], x.dtype))
             weights.append(jnp.asarray(cv["bias"], x.dtype))
-            rb_spans.append((cv["big"].shape[0], cv["q_min"]))
+            rb_spans.append(tuple(cv["live_q"]))
         spans.append(rb_spans)
     n_rb = len(spans)
     # widest single-conv shift, for the zero-padded work buffer (8-aligned)
-    qmax_abs = max(
-        max(abs(q_min), q_min + nq - 1) for rb in spans for (nq, q_min) in rb
-    )
+    qmax_abs = max(max(abs(q) for q in qs) for rb in spans for qs in rb)
     qmax_abs = -(-qmax_abs // 8) * 8
 
     flat_spans = [sp for rb in spans for sp in rb]
@@ -152,13 +156,12 @@ def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
         seq_mask = ((row >= left) & (row < right)).astype(dtype)
 
         def conv(tcur, wi):
-            nq, q_min = flat_spans[wi // 2]
+            live_q = flat_spans[wi // 2]
             K = w_refs[wi]
             bias = w_refs[wi + 1]
             pad_buf[qmax_abs : qmax_abs + work, :] = tcur * seq_mask
             accum = jnp.zeros((work, lanes), jnp.float32)
-            for qi in range(nq):
-                q = q_min + qi
+            for qi, q in enumerate(live_q):
                 seg = pad_buf[qmax_abs + q : qmax_abs + q + work, :]
                 accum = accum + jnp.dot(seg, K[qi], preferred_element_type=jnp.float32)
             bias_val = bias[0, :].astype(jnp.float32)
