@@ -127,4 +127,8 @@ def fused_log_mel(y: jax.Array, cfg: MelConfig, interpret: bool = False) -> jax.
     pad = (cfg.n_fft - cfg.hop_size) // 2  # = 1.5*hop for the 4x geometry
     y_padded = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
     num_frames = 1 + (y_padded.shape[-1] - cfg.n_fft) // cfg.hop_size
+    # crop to an exact hop multiple: the last frame ends at
+    # num_frames*hop + 3*hop, so nothing beyond it is ever read — this makes
+    # the (B, -1, hop) block reshape valid for arbitrary-length audio
+    y_padded = y_padded[:, : (num_frames + 3) * cfg.hop_size]
     return _fused_log_mel_padded(y_padded, cfg, num_frames, interpret)

@@ -48,6 +48,8 @@ def _blocked_kernel_np(kernel: np.ndarray, dilation: int, block: int) -> tuple[n
     # dilated convs leave many all-zero tap slots in the dense q range —
     # keep only live taps (the kernel loops an explicit (slot, q) list)
     live = [qi for qi in range(nq) if np.abs(big[qi]).sum() > 0]
+    if not live:  # all-zero kernel: keep the q=0 slot so live_q is never empty
+        live = [-q_min]
     big = big[live]
     live_q = [q_min + qi for qi in live]
     return big, live_q

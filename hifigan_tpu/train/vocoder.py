@@ -295,6 +295,13 @@ def train(a, h, mesh: Mesh | None = None, writer=None) -> VocoderTrainState:
             spectral_msd=do_ck.get("spectral_msd", state.spectral_msd),
             step=jnp.asarray(do_ck["steps"], jnp.int32),
         )
+        if "opt_g" in do_ck and "opt_d" in do_ck:
+            from flax import serialization as _ser
+
+            state = state.replace(
+                opt_g=_ser.from_state_dict(state.opt_g, do_ck["opt_g"]),
+                opt_d=_ser.from_state_dict(state.opt_d, do_ck["opt_d"]),
+            )
         last_epoch = int(do_ck.get("epoch", -1))
         print(f"Restored checkpoint at step {int(state.step)}, epoch {last_epoch}")
 
@@ -354,12 +361,18 @@ def train(a, h, mesh: Mesh | None = None, writer=None) -> VocoderTrainState:
                     os.path.join(a.checkpoint_path, f"g_{steps:08d}"),
                     {"generator": state.params_g},
                 )
+                from flax import serialization as _ser
+
                 save_checkpoint(
                     os.path.join(a.checkpoint_path, f"do_{steps:08d}"),
                     {
                         "mpd": state.params_mpd,
                         "msd": state.params_msd,
                         "spectral_msd": state.spectral_msd,
+                        # optimizer moments (upstream do_* saves optim_g/optim_d
+                        # state_dicts; without them resume silently reinits Adam)
+                        "opt_g": _ser.to_state_dict(state.opt_g),
+                        "opt_d": _ser.to_state_dict(state.opt_d),
                         "steps": steps,
                         "epoch": epoch,
                     },

@@ -94,11 +94,15 @@ def test_train_loop_checkpoint_resume_infer(lj_corpus, tmp_path, capsys):
     assert g_path is not None and do_path is not None
     ck = load_checkpoint(do_path)
     assert int(ck["steps"]) == steps
+    # optimizer moments persist in do_ (upstream saves optim_g/optim_d)
+    assert "opt_g" in ck and "opt_d" in ck
+    assert int(ck["opt_g"]["count"]) == steps
 
-    # resume: one more epoch continues from the checkpoint
+    # resume: one more epoch continues from the checkpoint, including Adam state
     a2 = AttrDict({**a, "training_epochs": 3})
     state2 = train(a2, h)
     assert int(state2.step) > 0
+    assert int(state2.opt_g.count) == int(state2.step)
     out = capsys.readouterr().out
     assert "Restored checkpoint" in out
     assert "Validation" in out
