@@ -27,6 +27,45 @@ from hifigan_tpu.config import get_config
 from hifigan_tpu.models import Generator, fold_weight_norm
 
 BASELINE_RTF = 167.9  # V100, reference README.md:17-18
+R01_TRAIN_STEP_MS = 133.5  # round-1 measured step time (docs/OPERATIONS.md)
+
+
+def bench_train() -> None:
+    """Full V1 GAN train step (D+G update, in-step mels, BASELINE config #4)
+    at batch 16 x 8192 samples; emits v1_train_step_ms with vs_baseline =
+    speedup over the round-1 implementation's 133.5 ms."""
+    h = get_config("v1")
+    h = type(h)({**h, "disc_compute_dtype": "bfloat16"})
+    batch, seg = 16, 8192
+
+    from hifigan_tpu.train.vocoder import create_train_state, make_train_step
+
+    state = create_train_state(h, jax.random.PRNGKey(0), segment_size=seg)
+    step = make_train_step(h)
+    audio = jax.random.normal(jax.random.PRNGKey(1), (batch, seg), jnp.float32) * 0.1
+    batch_d = {"audio": audio}
+
+    state, metrics = step(state, batch_d)  # compile
+    jax.block_until_ready(metrics)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        # state chains through the loop — the final fetch forces every step
+        state, metrics = step(state, batch_d)
+    float(metrics["loss_gen_all"])
+    dt = (time.perf_counter() - t0) / iters
+
+    print(
+        json.dumps(
+            {
+                "metric": "v1_train_step_ms",
+                "value": round(dt * 1000, 1),
+                "unit": "ms_b16x8192",
+                "vs_baseline": round(R01_TRAIN_STEP_MS / (dt * 1000), 2),
+            }
+        )
+    )
 
 
 def main() -> None:
@@ -79,4 +118,5 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    bench_train()
+    main()  # headline inference RTF stays the LAST line for the driver parser

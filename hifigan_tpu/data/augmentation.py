@@ -172,21 +172,51 @@ class RirAugmentor:
         return labels, wav, aug_parameter
 
 
+def gsm_roundtrip(wav: np.ndarray, sr: int) -> np.ndarray:
+    """Real GSM 06.10 (RPE-LTP) round trip via native/gsm0610.cpp, with the
+    codec's native 8 kHz rate handled by polyphase resampling (what sox does
+    under torchaudio's apply_codec, reference augmentation_methods.py:72-95)."""
+    from math import gcd
+
+    from hifigan_tpu.data import native
+
+    n = len(wav)
+    if sr != 8000:
+        g = gcd(sr, 8000)
+        x8 = signal.resample_poly(wav, 8000 // g, sr // g).astype(np.float32)
+    else:
+        x8 = np.asarray(wav, np.float32)
+    y8 = native.gsm0610_roundtrip_8k(x8)
+    if sr != 8000:
+        out = signal.resample_poly(y8, sr // g, 8000 // g).astype(np.float32)
+    else:
+        out = y8
+    if len(out) < n:
+        out = np.pad(out, (0, n - len(out)))
+    return out[:n]
+
+
 class CodecAugmentor:
     def __init__(self, sample_rate):
         self.sample_rate = sample_rate
 
     def augment(self, rng, labels, cut_labels, wav, aug_parameter, disable_wav_augmentation=False):
         if not disable_wav_augmentation:
+            from hifigan_tpu.data import native
+
             n = len(wav)
             if aug_parameter == "wav":  # ULAW 8-bit
                 wav = mu_law_roundtrip(wav)
             elif aug_parameter == "gsm":
-                # 8 kHz telephone band + mu-law quantisation artefacts
-                wav = band_limit(wav, self.sample_rate, 3400.0)
-                wav = mu_law_roundtrip(wav)
+                if native.gsm0610_available():
+                    wav = gsm_roundtrip(wav, self.sample_rate)
+                else:  # lib not built: telephone band + mu-law approximation
+                    wav = band_limit(wav, self.sample_rate, 3400.0)
+                    wav = mu_law_roundtrip(wav)
             elif aug_parameter in ("mp3", "vorbis"):
-                # lossy-codec band-limit simulation (no codec libs on host)
+                # no mp3/vorbis encoder exists on this host (no lame/ffmpeg);
+                # documented approximation: band cut like the codecs' default
+                # low-bitrate lowpass
                 wav = band_limit(wav, self.sample_rate, 0.4 * self.sample_rate)
             wav = wav[:n]
         return labels, wav, aug_parameter

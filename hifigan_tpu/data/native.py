@@ -33,6 +33,10 @@ def _find_lib():
     lib.mu_law_roundtrip.argtypes = [f32p, f32p, ctypes.c_int64, ctypes.c_float]
     lib.fir_apply.argtypes = [f32p, ctypes.c_int64, f32p, ctypes.c_int64, ctypes.c_int64, f32p]
     lib.peak_normalize_rows.argtypes = [f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_float]
+    try:
+        lib.gsm0610_roundtrip.argtypes = [f32p, f32p, ctypes.c_int64]
+    except AttributeError:  # stale .so without the codec
+        pass
     _LIB = lib
     return _LIB
 
@@ -93,6 +97,25 @@ def fir_apply(x: np.ndarray, h: np.ndarray, offset: int) -> np.ndarray:
     h = np.ascontiguousarray(h, np.float32)
     y = np.empty_like(x)
     lib.fir_apply(_ptr(x), x.size, _ptr(h), h.size, ctypes.c_int64(offset), _ptr(y))
+    return y
+
+
+def gsm0610_available() -> bool:
+    lib = _find_lib()
+    return lib is not None and hasattr(lib, "gsm0610_roundtrip")
+
+
+def gsm0610_roundtrip_8k(x: np.ndarray) -> np.ndarray:
+    """GSM 06.10 (RPE-LTP) encode+decode of 8 kHz float PCM
+    (native/gsm0610.cpp). Raises if the native lib isn't built — callers
+    gate on :func:`gsm0610_available` and fall back to a documented
+    simulation otherwise."""
+    lib = _find_lib()
+    if lib is None or not hasattr(lib, "gsm0610_roundtrip"):
+        raise RuntimeError("native GSM 06.10 codec unavailable (make -C native)")
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.empty_like(x)
+    lib.gsm0610_roundtrip(_ptr(x), _ptr(y), x.size)
     return y
 
 

@@ -34,6 +34,7 @@ class DiscriminatorP(nn.Module):
     use_spectral_norm: bool = False
     channels: Sequence[int] = (32, 128, 512, 1024)  # reference widths
     precision: Any = None
+    dtype: Any = None  # compute dtype for the conv stack (e.g. bf16 on TPU)
 
     @nn.compact
     def __call__(
@@ -56,6 +57,7 @@ class DiscriminatorP(nn.Module):
                 padding=(2, 0),  # get_padding(5, 1) == 2 (ref src/models.py:134)
                 norm=norm,
                 precision=self.precision,
+                dtype=self.dtype,
                 name=f"convs_{i}",
             )(x, update_spectral)
             x = leaky_relu(x, LRELU_SLOPE)
@@ -67,6 +69,7 @@ class DiscriminatorP(nn.Module):
             padding=(2, 0),
             norm=norm,
             precision=self.precision,
+            dtype=self.dtype,
             name="convs_4",
         )(x, update_spectral)
         x = leaky_relu(x, LRELU_SLOPE)
@@ -78,6 +81,7 @@ class DiscriminatorP(nn.Module):
             padding=(1, 0),
             norm=norm,
             precision=self.precision,
+            dtype=self.dtype,
             name="conv_post",
         )(x, update_spectral)
         fmap.append(x)
@@ -88,6 +92,7 @@ class DiscriminatorS(nn.Module):
     use_spectral_norm: bool = False
     width: int = 128  # base width; reference stack is 128/128/256/512/1024...
     precision: Any = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -117,6 +122,7 @@ class DiscriminatorS(nn.Module):
                 padding=p,
                 norm=norm,
                 precision=self.precision,
+                dtype=self.dtype,
                 name=f"convs_{i}",
             )(x, update_spectral)
             x = leaky_relu(x, LRELU_SLOPE)
@@ -127,6 +133,7 @@ class DiscriminatorS(nn.Module):
             padding=1,
             norm=norm,
             precision=self.precision,
+            dtype=self.dtype,
             name="conv_post",
         )(x, update_spectral)
         fmap.append(x)
@@ -134,28 +141,36 @@ class DiscriminatorS(nn.Module):
 
 
 class MultiPeriodDiscriminator(nn.Module):
+    """Real and fake waveforms run through each sub-discriminator as ONE
+    batched (2B) call — half the conv dispatches and double the MXU batch of
+    the reference's two sequential passes (src/models.py:169-178); conv
+    outputs are batch-independent so the split results are exact."""
+
     periods: Sequence[int] = (2, 3, 5, 7, 11)
     channels: Sequence[int] = (32, 128, 512, 1024)
     precision: Any = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(
         self, y: jax.Array, y_hat: jax.Array, update_spectral: bool = False
     ) -> tuple[list, list, list, list]:
+        b = y.shape[0]
+        yy = jnp.concatenate([y, y_hat], axis=0)
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for i, p in enumerate(self.periods):
             d = DiscriminatorP(
                 period=p,
                 channels=self.channels,
                 precision=self.precision,
+                dtype=self.dtype,
                 name=f"discriminators_{i}",
             )
-            y_d_r, fmap_r = d(y, update_spectral)
-            y_d_g, fmap_g = d(y_hat, update_spectral)
-            y_d_rs.append(y_d_r)
-            fmap_rs.append(fmap_r)
-            y_d_gs.append(y_d_g)
-            fmap_gs.append(fmap_g)
+            logits, fmap = d(yy, update_spectral)
+            y_d_rs.append(logits[:b])
+            y_d_gs.append(logits[b:])
+            fmap_rs.append([f[:b] for f in fmap])
+            fmap_gs.append([f[b:] for f in fmap])
         return y_d_rs, y_d_gs, fmap_rs, fmap_gs
 
 
@@ -163,26 +178,28 @@ class MultiScaleDiscriminator(nn.Module):
     width: int = 128
     num_scales: int = 3
     precision: Any = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(
         self, y: jax.Array, y_hat: jax.Array, update_spectral: bool = False
     ) -> tuple[list, list, list, list]:
+        b = y.shape[0]
+        yy = jnp.concatenate([y, y_hat], axis=0)  # one batched (2B) pass per scale
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for i in range(self.num_scales):
             if i != 0:
-                y = avg_pool1d(y[..., None], 4, 2, padding=2)[..., 0]
-                y_hat = avg_pool1d(y_hat[..., None], 4, 2, padding=2)[..., 0]
+                yy = avg_pool1d(yy[..., None], 4, 2, padding=2)[..., 0]
             d = DiscriminatorS(
                 use_spectral_norm=(i == 0),
                 width=self.width,
                 precision=self.precision,
+                dtype=self.dtype,
                 name=f"discriminators_{i}",
             )
-            y_d_r, fmap_r = d(y, update_spectral)
-            y_d_g, fmap_g = d(y_hat, update_spectral)
-            y_d_rs.append(y_d_r)
-            fmap_rs.append(fmap_r)
-            y_d_gs.append(y_d_g)
-            fmap_gs.append(fmap_g)
+            logits, fmap = d(yy, update_spectral)
+            y_d_rs.append(logits[:b])
+            y_d_gs.append(logits[b:])
+            fmap_rs.append([f[:b] for f in fmap])
+            fmap_gs.append([f[b:] for f in fmap])
         return y_d_rs, y_d_gs, fmap_rs, fmap_gs

@@ -224,6 +224,7 @@ class NormConvTranspose1d(_NormConvBase):
             padding=self.padding,
             output_padding=self.output_padding,
             precision=self.precision,
+            method="auto",  # polyphase on CPU, XLA lhs-dilated conv on TPU
         )
 
 

@@ -98,7 +98,12 @@ def conv_transpose1d(
     method='polyphase': ``stride`` output phases via one dense conv +
     depth-to-space; exact for k - 2p == stride; kept for layouts/backends
     where dilated convs lower poorly.
+    method='auto': polyphase on CPU (where XLA's lhs-dilated conv lowering
+    is 2x+ slower at narrow channel counts — V3 64->32 k8s4: 15.3 vs
+    34.7 ms/8 s audio on one core), dilated elsewhere.
     """
+    if method == "auto":
+        method = "polyphase" if jax.default_backend() == "cpu" else "dilated"
     # polyphase fast path: exact when output length == W*stride, i.e.
     # k - 2p == stride (every HiFi-GAN variant: k = 2u, p = u/2)
     if (

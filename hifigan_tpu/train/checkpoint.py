@@ -174,6 +174,67 @@ def convert_torch_generator(state_dict: dict) -> dict:
     return {"params": params}
 
 
+# ---------------------------------------------------------------------------
+# PyTorch emission (round-trip: train here -> run in the reference)
+# ---------------------------------------------------------------------------
+
+
+def export_torch_generator(params: dict, h=None) -> dict:
+    """Our Generator params pytree -> a reference-layout ``state_dict``
+    (flat torch keys), the inverse of :func:`convert_torch_generator`.
+
+    Weight-normed params ({'v','g'}) emit ``weight_v``/``weight_g`` pairs
+    (torch weight_norm dim=0 shapes); folded params ({'kernel'}) emit plain
+    ``weight`` — matching a post-`remove_weight_norm` reference checkpoint
+    (reference src/models.py:118-125, src/inference.py:41).
+    """
+    out: dict[str, np.ndarray] = {}
+
+    def emit(torch_key: str, leaf: dict, transposed: bool) -> None:
+        if transposed:
+            tr = (1, 2, 0)  # (K,I,O) -> (I,O,K)
+            g_shape = (-1, 1, 1)  # dim=0 over (I,O,K) -> (I,1,1)
+        else:
+            tr = (
+                (2, 1, 0) if leaf.get("v", leaf.get("kernel")).ndim == 3 else (3, 2, 0, 1)
+            )  # (K,I,O)->(O,I,K) / (KH,KW,I,O)->(O,I,KH,KW)
+            g_shape = (-1,) + (1,) * (leaf.get("v", leaf.get("kernel")).ndim - 1)
+        if "v" in leaf and "g" in leaf:
+            out[f"{torch_key}.weight_v"] = np.transpose(np.asarray(leaf["v"]), tr)
+            out[f"{torch_key}.weight_g"] = np.asarray(leaf["g"]).reshape(g_shape)
+        else:
+            out[f"{torch_key}.weight"] = np.transpose(np.asarray(leaf["kernel"]), tr)
+        if "bias" in leaf:
+            out[f"{torch_key}.bias"] = np.asarray(leaf["bias"])
+
+    for name, leaf in params.items():
+        if name in ("conv_pre", "conv_post"):
+            emit(name, leaf, transposed=False)
+        elif name.startswith("ups_"):
+            emit(f"ups.{name.split('_')[1]}", leaf, transposed=True)
+        elif name.startswith("resblocks_"):
+            rb_i = name.split("_")[1]
+            for conv_name, conv_leaf in leaf.items():
+                kind, j = conv_name.rsplit("_", 1)
+                emit(f"resblocks.{rb_i}.{kind}.{j}", conv_leaf, transposed=False)
+        else:
+            raise KeyError(f"unrecognised generator param subtree: {name}")
+    return out
+
+
+def save_torch_generator(filepath: str, params: dict, h=None) -> None:
+    """Write a reference-compatible ``g_*`` checkpoint
+    (``{'generator': state_dict}``, torch.save zip) loadable by the
+    reference's inference.py:40-41. Requires torch on the host."""
+    import torch
+
+    state_dict = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_torch_generator(params, h).items()
+    }
+    torch.save({"generator": state_dict}, filepath)
+
+
 def _convert_disc_stack(state_dict: dict, prefix: str = "") -> tuple[dict, dict]:
     """Shared MPD/MSD converter: keys like discriminators.{i}.convs.{j}.*
     and discriminators.{i}.conv_post.* -> params + spectral collections."""

@@ -72,13 +72,20 @@ def set_learning_rate(opt_state, lr: float):
 def build_discriminators(h):
     """MPD/MSD with reference widths by default; overridable via optional
     h keys (mpd_periods/mpd_channels/msd_width/msd_num_scales) for smaller
-    footprints and tests."""
+    footprints and tests. ``disc_compute_dtype: 'bfloat16'`` runs the
+    discriminator conv stacks in bf16 (params and losses stay f32) — ~2x MXU
+    throughput on TPU for the D+G passes."""
+    dtype = h.get("disc_compute_dtype")
+    if isinstance(dtype, str):
+        dtype = jnp.dtype(dtype)
     mpd = MultiPeriodDiscriminator(
         periods=tuple(h.get("mpd_periods", (2, 3, 5, 7, 11))),
         channels=tuple(h.get("mpd_channels", (32, 128, 512, 1024))),
+        dtype=dtype,
     )
     msd = MultiScaleDiscriminator(
-        width=h.get("msd_width", 128), num_scales=h.get("msd_num_scales", 3)
+        width=h.get("msd_width", 128), num_scales=h.get("msd_num_scales", 3),
+        dtype=dtype,
     )
     return mpd, msd
 

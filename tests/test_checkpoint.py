@@ -4,6 +4,9 @@ import os
 
 import numpy as np
 import jax
+import pytest
+
+from tests.conftest import requires_reference
 
 from hifigan_tpu.train.checkpoint import (
     load_checkpoint,
@@ -42,3 +45,74 @@ def test_compile_report():
 
     rep = compile_report(lambda x: (x @ x).sum(), jnp.ones((64, 64)))
     assert rep["flops"] is None or rep["flops"] > 0
+
+
+# ---------------------------------------------------------------------------
+# JAX -> torch export round-trip (train here -> run in the reference)
+# ---------------------------------------------------------------------------
+
+
+def test_export_torch_generator_roundtrip_convert():
+    """export_torch_generator is the exact inverse of convert_torch_generator."""
+    import jax
+    import jax.numpy as jnp
+
+    from hifigan_tpu.config import get_config
+    from hifigan_tpu.models import Generator
+    from hifigan_tpu.train.checkpoint import (
+        convert_torch_generator,
+        export_torch_generator,
+    )
+
+    h = get_config("v3")
+    gen = Generator(h)
+    mel = jnp.zeros((1, 80, 8), jnp.float32)
+    params = gen.init(jax.random.PRNGKey(0), mel)["params"]
+
+    sd = export_torch_generator(params)
+    back = convert_torch_generator(sd)["params"]
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = {jax.tree_util.keystr(p): l for p, l in jax.tree_util.tree_leaves_with_path(back)}
+    assert len(flat_a) == len(flat_b)
+    for p, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf), flat_b[jax.tree_util.keystr(p)])
+
+
+@requires_reference
+@pytest.mark.parametrize("folded", [False, True])
+def test_save_torch_generator_runs_in_reference(reference_src, tmp_path, folded, rng):
+    """Full interchange: our params -> torch g_* file -> reference Generator
+    forward matches ours to 2e-4 (VERDICT round-trip requirement; reference
+    src/inference.py:40-48)."""
+    import torch
+
+    import models as ref_models
+    from env import AttrDict as RefAttrDict
+
+    import jax
+    import jax.numpy as jnp
+
+    from hifigan_tpu.config import get_config
+    from hifigan_tpu.models import Generator, fold_weight_norm
+    from hifigan_tpu.train.checkpoint import save_torch_generator
+
+    h = get_config("v3")
+    gen = Generator(h, folded=folded)
+    mel = rng.standard_normal((1, 80, 16)).astype(np.float32) * 2.0 - 5.0
+    params = Generator(h).init(jax.random.PRNGKey(3), jnp.asarray(mel))["params"]
+    if folded:
+        params = fold_weight_norm(params)
+    ours = np.asarray(gen.apply({"params": params}, jnp.asarray(mel)))
+
+    path = str(tmp_path / "g_00000001")
+    save_torch_generator(path, params)
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    ref = ref_models.Generator(RefAttrDict(dict(h)))
+    if folded:
+        ref.remove_weight_norm()
+    ref.load_state_dict(ckpt["generator"])
+    ref.eval()
+    with torch.no_grad():
+        ref_wav = ref(torch.from_numpy(mel)).numpy()
+    np.testing.assert_allclose(ours, ref_wav, atol=2e-4, rtol=1e-4)

@@ -242,3 +242,60 @@ def test_native_dsp_augmentations():
     assert hb.shape == wav.shape
     # Hilbert preserves magnitude spectrum away from DC/Nyquist
     assert abs(band_energy(hb, 1000, 4000) / band_energy(wav, 1000, 4000) - 1) < 0.1
+
+
+def test_sniffer_cli_end_to_end(corpus, tmp_path):
+    """label_bias_sniffer main() equivalent: 3 disable_wavs datasets, per-key
+    trainer, checkpoints + decreasing loss (ref label_bias_sniffer.py:91-222)."""
+    from hifigan_tpu.cli.train_sniffers import build_sniffer_datasets, train_sniffers
+
+    # give the corpus a test split (same wavs; the reference assembles a third
+    # dataset from **/data_configs/test/*.json)
+    train_cfg = Path(corpus["data"]) / "mini" / "data_configs" / "train" / "mini.json"
+    test_cfg_dir = Path(corpus["data"]) / "mini" / "data_configs" / "test"
+    test_cfg_dir.mkdir(parents=True, exist_ok=True)
+    (test_cfg_dir / "mini.json").write_text(train_cfg.read_text())
+
+    flat = {
+        "segment_length": 2400,
+        "sampling_rate": SR,
+        "augmentation": AUG_CONFIG,
+    }
+    datasets = build_sniffer_datasets(flat, corpus["data"].rsplit("/", 1)[0], 240)
+    # dirs: build_sniffer_datasets expects <datasets_dir>/{data,aug,cache}
+    for name, ds in datasets.items():
+        assert ds.disable_wavs, name
+    assert datasets["validation"].deterministic and datasets["test"].deterministic
+
+    states = train_sniffers(
+        {}, datasets, str(tmp_path / "logs"), max_steps=8, batch_size=2
+    )
+    assert set(states) == {"content", "style"}
+    for key, state in states.items():
+        assert int(state.step) == 8
+        ckpt_dir = tmp_path / "logs" / "sniffers" / key / "default" / "version_1" / "checkpoints"
+        assert (ckpt_dir / "latest").exists() or any(ckpt_dir.iterdir())
+
+    # decreasing loss: retrain one key step-by-step and compare first/last
+    from hifigan_tpu.distill.sniffer import (
+        LabelBiasSnifferTrainer,
+        generate_sniffers_by_example,
+    )
+    import jax
+
+    from hifigan_tpu.cli.train_sniffers import DEFAULT_SNIFFER_LAYERS
+    from hifigan_tpu.dsl.parsing import parse_layers
+
+    sniffers = generate_sniffers_by_example(
+        datasets["train"].label_options_groups,
+        layers=parse_layers(list(DEFAULT_SNIFFER_LAYERS)),
+    )
+    trainer = LabelBiasSnifferTrainer(sniffers["content"], "content")
+    batch = next(datasets["train"].batches(2))
+    state = trainer.create_state(jax.random.PRNGKey(0), batch["time_labels"]["content"])
+    step = trainer.make_train_step()
+    series = []
+    for _ in range(30):
+        state, m = step(state, {"time_labels": batch["time_labels"]})
+        series.append(float(m["loss"]))
+    assert series[-1] < series[0], series

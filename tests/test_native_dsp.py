@@ -52,3 +52,48 @@ def test_peak_normalize_rows(rng):
     x = rng.standard_normal((3, 100)).astype(np.float32) * [[0.1], [2.0], [0.5]]
     y = native.peak_normalize_rows(x, peak=0.95)
     np.testing.assert_allclose(np.abs(y).max(axis=1), 0.95, atol=1e-5)
+
+
+@requires_native
+def test_gsm0610_roundtrip_artifacts():
+    """Known-vector artifact checks for the GSM 06.10 codec
+    (reference augmentation_methods.py:72-95 'gsm' path): codec-class SNR on
+    a speech-like harmonic signal, determinism, bounded output, and the
+    13-sample/40 RPE decimation noise floor (output != input)."""
+    assert native.gsm0610_available()
+    sr = 8000
+    t = np.arange(sr * 2) / sr
+    sig = sum(np.sin(2 * np.pi * 120.0 * k * t + 0.7 * k) / (1 + 0.3 * k)
+              for k in range(1, 12))
+    sig = (0.3 * sig / np.abs(sig).max()).astype(np.float32)
+    out = native.gsm0610_roundtrip_8k(sig)
+    assert out.shape == sig.shape and np.isfinite(out).all()
+    assert np.abs(out).max() <= 1.0
+    # deterministic
+    np.testing.assert_array_equal(out, native.gsm0610_roundtrip_8k(sig))
+    # codec-class SNR after filter warmup: lossy (below 35 dB) but intelligible
+    # (above 8 dB)
+    a, b = sig[320:], out[320:]
+    snr = 10 * np.log10((a**2).mean() / ((a - b) ** 2).mean())
+    assert 8.0 < snr < 35.0, snr
+    # silence stays silence (offset compensation + APCM zero code)
+    z = native.gsm0610_roundtrip_8k(np.zeros(1600, np.float32))
+    assert np.abs(z).max() < 1e-3
+
+
+@requires_native
+def test_gsm_augmentor_resamples_and_band_limits():
+    """At 16 kHz input, the GSM path must kill content above the codec's
+    4 kHz Nyquist (real-resample artifact the old band-limit simulation
+    couldn't produce exactly)."""
+    from hifigan_tpu.data.augmentation import gsm_roundtrip
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    hi = (0.3 * np.sin(2 * np.pi * 6000.0 * t)).astype(np.float32)  # > 4 kHz
+    out = gsm_roundtrip(hi, sr)
+    assert out.shape == hi.shape
+    spec_in = np.abs(np.fft.rfft(hi))
+    spec_out = np.abs(np.fft.rfft(out))
+    band = np.fft.rfftfreq(sr, 1 / sr) > 4500
+    assert spec_out[band].max() < 0.01 * spec_in[band].max()
