@@ -164,8 +164,8 @@ def _resolve_method(cfg: MelConfig) -> MelConfig:
 @functools.partial(jax.jit, static_argnums=(1,))
 def _mel_impl(y: jax.Array, cfg: MelConfig) -> jax.Array:
     if cfg.method == "pallas":
-        # fused Pallas kernel (forward-only; no custom VJP yet) with jnp
-        # fallback for unsupported geometries
+        # fused Pallas kernel (custom VJP: backward recomputes via the
+        # matmul path) with jnp fallback for unsupported geometries
         from hifigan_tpu.ops.pallas.logmel import fused_log_mel, supports_fused_log_mel
 
         if supports_fused_log_mel(cfg):

@@ -136,17 +136,160 @@ class ValidationVisualizationCallback(Callback):
 
     def on_validation_end(self, loop: TrainLoop) -> None:
         self._logged = 0
-        # parameter histograms (ref validation_visualization_callback.py:42-150)
+        # parameter histograms + snake images
+        # (ref validation_visualization_callback.py:42-150)
         if loop.writer is not None and hasattr(loop.state, "variables"):
-            import jax
+            log_model_parameters(loop.writer, loop.state.variables, loop.global_step)
 
-            for path, leaf in jax.tree_util.tree_leaves_with_path(loop.state.variables):
-                keys = "/".join(str(getattr(p, "key", p)) for p in path)
-                if "params" in keys:
-                    loop.writer.add_histogram(
-                        f"params/{keys}", np.asarray(leaf).reshape(-1), loop.global_step
-                    )
-                    break  # one representative histogram per flush (cost control)
+
+def _model_param_trees(variables) -> dict:
+    """{model_name: params tree}. Accepts either a {name: variables} dict
+    (distill trainer) or a single flax variables dict (sniffer trainer)."""
+    if isinstance(variables, Mapping) and "params" in variables:
+        return {"model": variables["params"]}
+    out = {}
+    for name, vs in variables.items():
+        if isinstance(vs, Mapping):
+            out[name] = vs.get("params", vs)
+    return out
+
+
+def _conv_leaves(params) -> list[tuple[str, np.ndarray, np.ndarray | None]]:
+    """Ordered (name, weight_2d, bias) per conv-like module: the weight is
+    the 'kernel' or weight-norm 'v' leaf reduced over its spatial axes to
+    (out, in) — the reference's torch.mean over dims >= 2
+    (validation_visualization_callback.py:60)."""
+    out = []
+
+    def walk(node, prefix):
+        if not isinstance(node, Mapping):
+            return
+        w = node.get("kernel", node.get("v"))
+        if w is not None and getattr(w, "ndim", 0) >= 2:
+            w = np.asarray(w)
+            # our layouts put spatial dims first ((K, I, O) / (KH, KW, I, O));
+            # reduce them and transpose to torch's (out, in) orientation
+            w2 = w.mean(axis=tuple(range(w.ndim - 2))).T
+            bias = node.get("bias")
+            out.append((prefix, w2, np.asarray(bias) if bias is not None else None))
+            return
+        for k in sorted(node.keys(), key=str):
+            child = node[k]
+            if isinstance(child, Mapping):
+                walk(child, f"{prefix}.{k}" if prefix else str(k))
+
+    walk(params, "")
+    return out
+
+
+def parameter_snake_images(params) -> dict[str, np.ndarray]:
+    """Chained weight-matrix 'snake' images: consecutive conv weights whose
+    dimensions chain (prev out == next in) are laid out alternately
+    horizontally/vertically, with bias strips at max value as separators —
+    the reference's snake construction
+    (validation_visualization_callback.py:55-147) re-derived for param
+    pytrees instead of named_parameters."""
+    leaves = _conv_leaves(params)
+    snakes: dict[str, list] = {}
+    cur: list = []
+    cur_names: list[str] = []
+    last_dim = None
+
+    def close():
+        nonlocal cur, cur_names, last_dim
+        if cur:
+            import os.path as _osp
+
+            name = _osp.commonprefix(cur_names).strip(".") or cur_names[0]
+            base = name
+            n = 2
+            while name in snakes:
+                name = f"{base}_{n}"
+                n += 1
+            snakes[name] = cur
+        cur, cur_names, last_dim = [], [], None
+
+    for name, w2, bias in leaves:
+        if last_dim is not None and last_dim != w2.shape[1]:
+            close()
+        cur_names.append(name)
+        if bias is not None and w2.shape[0] == bias.shape[0]:
+            cur.append((w2, bias))
+            last_dim = w2.shape[0]
+        else:
+            cur.append((w2, None))
+            close()
+    close()
+
+    images = {}
+    for snake_name, snake in snakes.items():
+        values = np.concatenate(
+            [np.concatenate([w.reshape(-1)] + ([b.reshape(-1)] if b is not None else []))
+             for w, b in snake]
+        )
+        vmin, vmax = float(values.min()), float(values.max())
+        wide = snake[0::2]
+        high = snake[1::2]
+        height = wide[0][0].shape[1]
+        width = 0
+        for i in range(len(wide)):
+            w_w, b_w = wide[i]
+            width += w_w.shape[0]
+            if b_w is not None:
+                height += 1
+            if i < len(high):
+                w_h, b_h = high[i]
+                height += w_h.shape[0]
+                if b_h is not None:
+                    width += 1
+        img = np.full((width, height), vmin, np.float32)
+        cw = ch = 0
+        for i in range(len(wide)):
+            w_w, b_w = wide[i]
+            lw, lh = w_w.shape
+            img[cw : cw + lw, ch : ch + lh] = w_w
+            ch += lh
+            if b_w is not None:
+                img[:, ch] = vmax
+                img[cw : cw + lw, ch] = b_w
+                ch += 1
+            if i < len(high):
+                w_h, b_h = high[i]
+                hw, hh = w_h.shape[1], w_h.shape[0]
+                img[cw : cw + hw, ch : ch + hh] = w_h.T
+                cw += hw
+                if b_h is not None:
+                    img[cw, :] = vmax
+                    img[cw, ch : ch + hh] = b_h
+                    cw += 1
+        images[snake_name] = img
+    return images
+
+
+def log_model_parameters(writer, variables, step: int) -> None:
+    """Full reference parity (validation_visualization_callback.py:42-53):
+    one all-params histogram per model, one histogram per parameter, and
+    snake weight-matrix images per model."""
+    from hifigan_tpu.utils.plotting import plot_image
+
+    import jax
+
+    for name, params in _model_param_trees(variables).items():
+        leaves = [
+            ("/".join(str(getattr(p, "key", p)) for p in path), np.asarray(leaf))
+            for path, leaf in jax.tree_util.tree_leaves_with_path(params)
+        ]
+        if not leaves:
+            continue
+        writer.add_histogram(
+            rank(f"models/{name}"),
+            np.concatenate([l.reshape(-1) for _, l in leaves]),
+            step,
+        )
+        for keys, leaf in leaves:
+            writer.add_histogram(rank(f"models/{name}/{keys}"), leaf.reshape(-1), step)
+        for snake_name, img in parameter_snake_images(params).items():
+            writer.add_figure(rank(f"models/{name}/{snake_name}"), plot_image(img), step)
 
 
 class ModelGraphVisualizationCallback(Callback):

@@ -12,6 +12,20 @@ from hifigan_tpu.distill.model import embedding_size_from_layers
 from hifigan_tpu.dsl.parsing import parse_layers
 
 
+def warm_label_caches(ds, workers: int | None = None) -> None:
+    """Pre-compute every per-item label pickle in parallel — the reference
+    warms with Pool(16) (test.py:57-61, multilabel_wave_dataset.py:176)."""
+    import multiprocessing
+
+    workers = workers or min(16, multiprocessing.cpu_count())
+    if workers > 1 and len(ds) > 1:
+        with multiprocessing.Pool(workers) as pool:
+            pool.map(ds.create_pickle_label, range(len(ds)))
+    else:
+        for i in range(len(ds)):
+            ds.create_pickle_label(i)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
@@ -40,8 +54,7 @@ def main() -> None:
             **config["data"][key]["dataset"],
         )
         print(f"[{key}] {len(ds)} items; warming label caches...")
-        for i in range(len(ds)):
-            ds.create_pickle_label(i)
+        warm_label_caches(ds, a.workers)
         for i in range(min(a.iterate, len(ds))):
             wav, path, time_labels, grouped = ds[i]
             print(f"  item {i}: wav {wav.shape}, labels "

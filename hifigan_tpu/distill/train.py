@@ -92,12 +92,24 @@ def calculate_losses(loss, factor, backward, data):
     """Walk loss/factor/backward trees over the data tree.
 
     Returns (nested losses dict with 'total's, trained_total) where
-    trained_total sums exactly the subtrees whose backward flag is True —
-    everything else is metrics-only (stop_gradient applied).
+    trained_total sums exactly the subtrees whose backward flag is True.
+    Everything else is metrics-only by construction: jax.grad is taken of
+    trained_total alone, so unflagged subtrees never contribute gradients
+    (no stop_gradient needed — they are simply not part of the
+    differentiated output).
+
+    ``'total'`` is a RESERVED key in every losses dict level (the logging /
+    best-checkpoint callbacks read it); a data tree using it would be
+    silently shadowed, so it is rejected.
     """
 
     def walk(loss, factor, backward, data):
         if isinstance(data, Mapping):
+            if "total" in data:
+                raise ValueError(
+                    "'total' is a reserved key in loss data trees (it holds the "
+                    "per-subtree sum in the returned losses dict)"
+                )
             losses = {}
             total = 0.0
             trained = 0.0

@@ -150,13 +150,14 @@ class MultiPeriodDiscriminator(nn.Module):
     channels: Sequence[int] = (32, 128, 512, 1024)
     precision: Any = None
     dtype: Any = None
+    fused: bool = True  # real+fake as one 2B pass; False = two B passes
 
     @nn.compact
     def __call__(
         self, y: jax.Array, y_hat: jax.Array, update_spectral: bool = False
     ) -> tuple[list, list, list, list]:
         b = y.shape[0]
-        yy = jnp.concatenate([y, y_hat], axis=0)
+        yy = jnp.concatenate([y, y_hat], axis=0) if self.fused else None
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for i, p in enumerate(self.periods):
             d = DiscriminatorP(
@@ -166,11 +167,19 @@ class MultiPeriodDiscriminator(nn.Module):
                 dtype=self.dtype,
                 name=f"discriminators_{i}",
             )
-            logits, fmap = d(yy, update_spectral)
-            y_d_rs.append(logits[:b])
-            y_d_gs.append(logits[b:])
-            fmap_rs.append([f[:b] for f in fmap])
-            fmap_gs.append([f[b:] for f in fmap])
+            if self.fused:
+                logits, fmap = d(yy, update_spectral)
+                y_d_rs.append(logits[:b])
+                y_d_gs.append(logits[b:])
+                fmap_rs.append([f[:b] for f in fmap])
+                fmap_gs.append([f[b:] for f in fmap])
+            else:
+                y_d_r, fmap_r = d(y, update_spectral)
+                y_d_g, fmap_g = d(y_hat, update_spectral)
+                y_d_rs.append(y_d_r)
+                y_d_gs.append(y_d_g)
+                fmap_rs.append(fmap_r)
+                fmap_gs.append(fmap_g)
         return y_d_rs, y_d_gs, fmap_rs, fmap_gs
 
 
@@ -179,17 +188,22 @@ class MultiScaleDiscriminator(nn.Module):
     num_scales: int = 3
     precision: Any = None
     dtype: Any = None
+    fused: bool = True
 
     @nn.compact
     def __call__(
         self, y: jax.Array, y_hat: jax.Array, update_spectral: bool = False
     ) -> tuple[list, list, list, list]:
         b = y.shape[0]
-        yy = jnp.concatenate([y, y_hat], axis=0)  # one batched (2B) pass per scale
+        yy = jnp.concatenate([y, y_hat], axis=0) if self.fused else None
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for i in range(self.num_scales):
             if i != 0:
-                yy = avg_pool1d(yy[..., None], 4, 2, padding=2)[..., 0]
+                if self.fused:
+                    yy = avg_pool1d(yy[..., None], 4, 2, padding=2)[..., 0]
+                else:
+                    y = avg_pool1d(y[..., None], 4, 2, padding=2)[..., 0]
+                    y_hat = avg_pool1d(y_hat[..., None], 4, 2, padding=2)[..., 0]
             d = DiscriminatorS(
                 use_spectral_norm=(i == 0),
                 width=self.width,
@@ -197,9 +211,17 @@ class MultiScaleDiscriminator(nn.Module):
                 dtype=self.dtype,
                 name=f"discriminators_{i}",
             )
-            logits, fmap = d(yy, update_spectral)
-            y_d_rs.append(logits[:b])
-            y_d_gs.append(logits[b:])
-            fmap_rs.append([f[:b] for f in fmap])
-            fmap_gs.append([f[b:] for f in fmap])
+            if self.fused:
+                logits, fmap = d(yy, update_spectral)
+                y_d_rs.append(logits[:b])
+                y_d_gs.append(logits[b:])
+                fmap_rs.append([f[:b] for f in fmap])
+                fmap_gs.append([f[b:] for f in fmap])
+            else:
+                y_d_r, fmap_r = d(y, update_spectral)
+                y_d_g, fmap_g = d(y_hat, update_spectral)
+                y_d_rs.append(y_d_r)
+                y_d_gs.append(y_d_g)
+                fmap_rs.append(fmap_r)
+                fmap_gs.append(fmap_g)
         return y_d_rs, y_d_gs, fmap_rs, fmap_gs

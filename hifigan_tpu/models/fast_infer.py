@@ -24,16 +24,22 @@ import jax
 import jax.numpy as jnp
 
 from hifigan_tpu.ops.conv import LRELU_SLOPE, conv1d, conv_transpose1d, leaky_relu
-from hifigan_tpu.ops.pallas.resblock_tail import fused_tail_stage, pack_generator_tail
+from hifigan_tpu.ops.pallas.resblock_tail import (
+    fused_tail_stage,
+    pack_generator_tail,
+    prepare_post,
+)
 
 
 def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
                       tile_blocks: int = 512, interpret: bool = False,
-                      min_fused_stage: int = 0):
+                      min_fused_stage: int = 0, fold_post: bool = True):
     """(folded params, h) -> jittable fn(mel (B, M, T)) -> wav (B, 1, T*hop).
 
     The packed block kernels are baked in as constants (inference-only path;
-    rebuild after updating params).
+    rebuild after updating params). ``fold_post`` folds the generator tail
+    (lrelu 0.01 -> conv_post -> tanh) into the last fused stage's kernel,
+    eliminating the final (T, C) HBM round trip.
     """
     num_kernels = len(h["resblock_kernel_sizes"])
     stages = list(enumerate(zip(h["upsample_rates"], h["upsample_kernel_sizes"])))
@@ -44,6 +50,11 @@ def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
         ch = ch0 // (2 ** (i + 1))
         if ch <= 64 and 128 % ch == 0 and i >= min_fused_stage:
             packs[i] = pack_generator_tail(h, folded_params, i, block=128 // ch)
+
+    last_stage = stages[-1][0]
+    post_pack = None
+    if fold_post and last_stage in packs:
+        post_pack = prepare_post(folded_params["conv_post"], packs[last_stage]["block"])
 
     def cast(p):
         return jax.tree_util.tree_map(lambda v: jnp.asarray(v, dtype), p)
@@ -72,9 +83,14 @@ def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
             p = params[f"ups_{i}"]
             x = conv_transpose1d(x, p["kernel"], p["bias"], stride=u, padding=(k - u) // 2)
             if i in packs:
-                x = fused_tail_stage(x, packs[i], interpret=interpret, tile_blocks=tile_blocks)
+                x = fused_tail_stage(
+                    x, packs[i], interpret=interpret, tile_blocks=tile_blocks,
+                    post_pack=post_pack if i == last_stage else None,
+                )
             else:
                 x = mrf_xla(x, i, ch)
+        if post_pack is not None:
+            return jnp.swapaxes(x, -1, -2)  # tail already folded in-kernel
         x = leaky_relu(x, 0.01)
         p = params["conv_post"]
         x = conv1d(x, p["kernel"], p["bias"], padding=3)

@@ -275,14 +275,29 @@ class NormConv2d(_NormConvBase):
 # ---------------------------------------------------------------------------
 
 
-def _fold_tree(tree: Any, path: tuple[str, ...] = ()) -> Any:
+def _default_is_transposed(path: tuple[str, ...]) -> bool:
+    """Structural marker for transposed convs: the Generator names its
+    upsamplers ``ups_<i>`` and the DSL tags transposed nodes with ``trans``
+    in the module name — square (I == O) kernels are then folded on the
+    right axes without shape sniffing."""
+    name = path[-1] if path else ""
+    return name.startswith("ups_") or "trans" in name
+
+
+def _fold_tree(tree: Any, is_transposed, path: tuple[str, ...] = ()) -> Any:
     if isinstance(tree, dict):
         keys = set(tree.keys())
         if "v" in keys and "g" in keys:
             v, g = tree["v"], tree["g"]
             # Transposed-conv kernels normalise per input channel (axis 1);
-            # forward convs per output channel (last axis). Distinguish by g size.
-            if v.ndim == 3 and v.shape[1] == g.shape[0] and v.shape[2] != g.shape[0]:
+            # forward convs per output channel (last axis). The module path
+            # decides; a shape check (unambiguous when I != O) is the
+            # fallback for unconventional names.
+            transposed = v.ndim == 3 and (
+                is_transposed(path)
+                or (v.shape[1] == g.shape[0] and v.shape[2] != g.shape[0])
+            )
+            if transposed:
                 axes: tuple[int, ...] = (0, 2)
             elif v.ndim == 4:
                 axes = (0, 1, 2)
@@ -292,16 +307,17 @@ def _fold_tree(tree: Any, path: tuple[str, ...] = ()) -> Any:
             for k in keys - {"v", "g"}:
                 folded[k] = tree[k]
             return folded
-        return {k: _fold_tree(v, path + (k,)) for k, v in tree.items()}
+        return {k: _fold_tree(v, is_transposed, path + (k,)) for k, v in tree.items()}
     return tree
 
 
-def fold_weight_norm(params: Any) -> Any:
+def fold_weight_norm(params: Any, is_transposed=None) -> Any:
     """Fold {'v','g'} weight-norm params into plain {'kernel'} params.
 
     Apply the model with ``norm='none'`` (e.g. ``Generator(h, folded=True)``)
-    afterwards. Ambiguity note: square transposed kernels (I == O) fold on
-    axes (0, 2) only when shapes disambiguate; the Generator's upsamplers
-    always halve channels (src/models.py:87) so the heuristic is exact there.
+    afterwards. ``is_transposed(path) -> bool`` overrides the structural
+    transposed-conv detection (module named ``ups_*`` or containing
+    ``trans``); pass it when folding trees with other naming conventions
+    and square (I == O) transposed kernels.
     """
-    return _fold_tree(params)
+    return _fold_tree(params, is_transposed or _default_is_transposed)

@@ -120,10 +120,7 @@ def _fused_log_mel_padded(
     return jnp.swapaxes(out, -1, -2)  # (B, mels, F)
 
 
-def fused_log_mel(y: jax.Array, cfg: MelConfig, interpret: bool = False) -> jax.Array:
-    """(B, T) -> (B, num_mels, frames); numerics match
-    hifigan_tpu.audio.log_mel_spectrogram for supported geometries."""
-    assert supports_fused_log_mel(cfg), "unsupported mel geometry for the fused kernel"
+def _fused_log_mel_fwd_impl(y: jax.Array, cfg: MelConfig, interpret: bool) -> jax.Array:
     pad = (cfg.n_fft - cfg.hop_size) // 2  # = 1.5*hop for the 4x geometry
     y_padded = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
     num_frames = 1 + (y_padded.shape[-1] - cfg.n_fft) // cfg.hop_size
@@ -132,3 +129,37 @@ def fused_log_mel(y: jax.Array, cfg: MelConfig, interpret: bool = False) -> jax.
     # the (B, -1, hop) block reshape valid for arbitrary-length audio
     y_padded = y_padded[:, : (num_frames + 3) * cfg.hop_size]
     return _fused_log_mel_padded(y_padded, cfg, num_frames, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fused_log_mel(y: jax.Array, cfg: MelConfig, interpret: bool = False) -> jax.Array:
+    """(B, T) -> (B, num_mels, frames); numerics match
+    hifigan_tpu.audio.log_mel_spectrogram for supported geometries.
+
+    Differentiable: the backward pass recomputes the chain with the XLA
+    matmul composition and pulls the cotangent through it (jax.vjp), saving
+    only ``y``. Honest cost note: at vocoder TRAINING shapes (segment 8192
+    -> 32 frames) the whole mel chain is a negligible slice of the step, so
+    the fused forward buys nothing there — the kernel's win is large-batch
+    inference-side mel extraction; see docs/OPERATIONS.md."""
+    assert supports_fused_log_mel(cfg), "unsupported mel geometry for the fused kernel"
+    return _fused_log_mel_fwd_impl(y, cfg, interpret)
+
+
+def _fused_log_mel_fwd(y, cfg, interpret):
+    return _fused_log_mel_fwd_impl(y, cfg, interpret), y
+
+
+def _fused_log_mel_bwd(cfg, interpret, y, g):
+    # gradcheck-exact wrt the jnp path: same padding, clip mask, and HIGHEST
+    # precision matmuls (tests/test_pallas_logmel.py)
+    import dataclasses as _dc
+
+    from hifigan_tpu.audio import mel as _mel
+
+    jnp_cfg = _dc.replace(cfg, method="matmul")
+    _, vjp = jax.vjp(lambda yy: _mel.log_mel_spectrogram(yy, jnp_cfg), y)
+    return vjp(g)
+
+
+fused_log_mel.defvjp(_fused_log_mel_fwd, _fused_log_mel_bwd)

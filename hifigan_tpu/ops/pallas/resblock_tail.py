@@ -30,8 +30,8 @@ from hifigan_tpu.ops.conv import LRELU_SLOPE
 
 
 def _blocked_kernel_np(kernel: np.ndarray, dilation: int, block: int) -> tuple[np.ndarray, int]:
-    """(k, C, C) tap kernel -> ((nq, block*C, block*C), q_min) block kernels."""
-    k, c, _ = kernel.shape
+    """(k, Ci, Co) tap kernel -> ((nq, block*Ci, block*Co), live_q) blocks."""
+    k, ci, co = kernel.shape
     p = (k - 1) * dilation // 2
     tau = np.arange(k)[:, None]
     r = np.arange(block)[None, :]
@@ -40,11 +40,11 @@ def _blocked_kernel_np(kernel: np.ndarray, dilation: int, block: int) -> tuple[n
     rho = (r + off) % block
     q_min, q_max = int(q.min()), int(q.max())
     nq = q_max - q_min + 1
-    big = np.zeros((nq, block, block, c, c), np.float32)
+    big = np.zeros((nq, block, block, ci, co), np.float32)
     for ti in range(k):
         for ri in range(block):
             big[q[ti, ri] - q_min, rho[ti, ri], ri] += np.asarray(kernel[ti], np.float32)
-    big = big.transpose(0, 1, 3, 2, 4).reshape(nq, block * c, block * c)
+    big = big.transpose(0, 1, 3, 2, 4).reshape(nq, block * ci, block * co)
     # dilated convs leave many all-zero tap slots in the dense q range —
     # keep only live taps (the kernel loops an explicit (slot, q) list)
     live = [qi for qi in range(nq) if np.abs(big[qi]).sum() > 0]
@@ -73,16 +73,31 @@ def prepare_tail_stage(params_stage, dilations, block: int, pair_size: int) -> d
     return {"resblocks": packed, "block": block, "pair_size": pair_size}
 
 
+def prepare_post(post_params: dict, block: int) -> dict:
+    """Pack the generator's conv_post (k7, C -> 1) for in-kernel folding:
+    lrelu(0.01) -> conv_post -> tanh happens inside the tail kernel, saving
+    the (T, C) HBM round trip + two extra XLA ops on the serving path."""
+    big, live_q = _blocked_kernel_np(np.asarray(post_params["kernel"]), 1, block)
+    bias = np.tile(np.asarray(post_params["bias"], np.float32), block)[None, :]
+    return {"big": big, "live_q": tuple(live_q), "bias": bias}
+
+
 def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
-                     tile_blocks: int = 512, split_resblocks: bool = False) -> jax.Array:
+                     tile_blocks: int = 512, split_resblocks: bool = False,
+                     post_pack: dict | None = None) -> jax.Array:
     """x: (B, T, C) -> mean of resblock outputs, same shape (the MRF stage).
 
     ``split_resblocks=True`` runs one pallas call per resblock and averages
     in XLA — 1/num_kernels the VMEM weight footprint per kernel (V1's k=11
     stage packs ~5.7 MB of block kernels, which double-buffered can exhaust
     VMEM in the monolithic form).
+
+    ``post_pack`` (from :func:`prepare_post`) folds the generator tail —
+    lrelu(0.01) -> conv_post -> tanh (reference src/models.py:112-114) —
+    into the same kernel; the result is then (B, T, 1) float32 waveform.
     """
     if split_resblocks and len(packed["resblocks"]) > 1:
+        assert post_pack is None, "post folding requires the monolithic form"
         n = len(packed["resblocks"])
         acc = None
         for rb in packed["resblocks"]:
@@ -104,6 +119,8 @@ def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
         sum(max(abs(q) for q in cv["live_q"]) + 1 for cv in rb)
         for rb in packed["resblocks"]
     )
+    if post_pack is not None:
+        halo_b += max(abs(q) for q in post_pack["live_q"]) + 1
     halo_b = -(-halo_b // 8) * 8
 
     tile_b = min(tile_blocks, t_blocks_total)
@@ -125,8 +142,15 @@ def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
             rb_spans.append(tuple(cv["live_q"]))
         spans.append(rb_spans)
     n_rb = len(spans)
+    post_span: tuple[int, ...] = ()
+    if post_pack is not None:
+        weights.append(jnp.asarray(post_pack["big"], x.dtype))
+        weights.append(jnp.asarray(post_pack["bias"], x.dtype))
+        post_span = tuple(post_pack["live_q"])
     # widest single-conv shift, for the zero-padded work buffer (8-aligned)
     qmax_abs = max(max(abs(q) for q in qs) for rb in spans for qs in rb)
+    if post_span:
+        qmax_abs = max(qmax_abs, max(abs(q) for q in post_span))
     qmax_abs = -(-qmax_abs // 8) * 8
 
     flat_spans = [sp for rb in spans for sp in rb]
@@ -186,19 +210,36 @@ def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
                 h = h + tcur
             acc = acc + h.astype(jnp.float32)
         out = (acc / n_rb).astype(dtype)
-        out_ref[0, :, :] = out[halo_b : halo_b + tile_b, :]
+        if post_span:
+            # folded generator tail: lrelu(0.01, torch default slope at
+            # conv_post input, ref src/models.py:112) -> conv_post -> tanh
+            h01 = jnp.maximum(out, 0) + jnp.asarray(0.01, dtype) * jnp.minimum(out, 0)
+            pad_buf[qmax_abs : qmax_abs + work, :] = h01 * seq_mask
+            K = w_refs[-2]
+            pbias = w_refs[-1]
+            pacc = jnp.zeros((work, block), jnp.float32)
+            for qi, q in enumerate(post_span):
+                seg = pad_buf[qmax_abs + q : qmax_abs + q + work, :]
+                pacc = pacc + jnp.dot(seg, K[qi], preferred_element_type=jnp.float32)
+            pacc = pacc + pbias[0, :].astype(jnp.float32)[None, :]
+            wav = jnp.tanh(pacc)
+            out_ref[0, :, :] = wav[halo_b : halo_b + tile_b, :]
+        else:
+            out_ref[0, :, :] = out[halo_b : halo_b + tile_b, :]
 
     x4p = jnp.pad(x4, ((0, 0), (halo_b, halo_b), (0, 0)))
 
+    out_lanes = block if post_span else lanes
+    out_dtype = jnp.float32 if post_span else x.dtype
     out = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights],
         out_specs=pl.BlockSpec(
-            (1, tile_b, lanes), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
+            (1, tile_b, out_lanes), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, total_b, lanes), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, total_b, out_lanes), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((work, lanes), x.dtype),
             pltpu.VMEM((work + 2 * qmax_abs, lanes), x.dtype),
@@ -206,6 +247,8 @@ def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
         ],
         interpret=interpret,
     )(x4p, *weights)
+    if post_span:
+        return out[:, :t_blocks_total, :].reshape(b, t, 1)
     return out[:, :t_blocks_total, :].reshape(b, t, c)
 
 

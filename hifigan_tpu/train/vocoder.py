@@ -78,14 +78,17 @@ def build_discriminators(h):
     dtype = h.get("disc_compute_dtype")
     if isinstance(dtype, str):
         dtype = jnp.dtype(dtype)
+    fused = h.get("disc_fused", True)
     mpd = MultiPeriodDiscriminator(
         periods=tuple(h.get("mpd_periods", (2, 3, 5, 7, 11))),
         channels=tuple(h.get("mpd_channels", (32, 128, 512, 1024))),
         dtype=dtype,
+        fused=fused,
     )
     msd = MultiScaleDiscriminator(
         width=h.get("msd_width", 128), num_scales=h.get("msd_num_scales", 3),
         dtype=dtype,
+        fused=fused,
     )
     return mpd, msd
 

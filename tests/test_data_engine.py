@@ -299,3 +299,43 @@ def test_sniffer_cli_end_to_end(corpus, tmp_path):
         state, m = step(state, {"time_labels": batch["time_labels"]})
         series.append(float(m["loss"]))
     assert series[-1] < series[0], series
+
+
+def test_batches_per_host_sharding_disjoint(corpus):
+    """Mocked multi-host input sharding: batches(process_index=i,
+    process_count=N) must cover the dataset disjointly with identical
+    cross-host shuffles (the DistributedSampler equivalent, reference
+    label_bias_sniffer.py:140)."""
+    ds = make_dataset(corpus, disable_wavs=True)
+    n_hosts = 2
+    seen = []
+    for host in range(n_hosts):
+        paths = []
+        for b in ds.batches(1, shuffle=True, seed=77, drop_last=False,
+                            process_index=host, process_count=n_hosts):
+            paths.extend(b["paths"])
+        seen.append(paths)
+    all_paths = [p for host_paths in seen for p in host_paths]
+    assert len(all_paths) == len(ds)
+    assert len(set(all_paths)) == len(all_paths)  # disjoint
+    # same seed -> deterministic assignment
+    again = []
+    for b in ds.batches(1, shuffle=True, seed=77, drop_last=False,
+                        process_index=0, process_count=n_hosts):
+        again.extend(b["paths"])
+    assert again == seen[0]
+
+
+def test_warm_label_caches_parallel(corpus):
+    """Pool fan-out label-cache warm (reference test.py:57-61 Pool(16))."""
+    import shutil
+    from pathlib import Path
+
+    from hifigan_tpu.cli.warm_cache import warm_label_caches
+
+    ds = make_dataset(corpus, disable_wavs=True)
+    cache = Path(corpus["cache"]) / "train" / "labels_cache"
+    shutil.rmtree(cache, ignore_errors=True)
+    cache.mkdir(parents=True)
+    warm_label_caches(ds, workers=2)
+    assert len(list(cache.glob("*.pickle"))) == len(ds)

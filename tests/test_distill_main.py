@@ -216,3 +216,50 @@ def test_infer_autoencoding_cli(corpus, tmp_path, monkeypatch):  # noqa: F811
     infer_autoencoding.main()
     outs = list(out_dir.glob("*_autoencoded.wav"))
     assert len(outs) == 4
+
+
+def test_parameter_visualization_parity():
+    """All-params + per-parameter histograms and snake weight images are
+    logged per model (ref validation_visualization_callback.py:42-150)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hifigan_tpu.callbacks.visualization import (
+        log_model_parameters,
+        parameter_snake_images,
+    )
+    from hifigan_tpu.config import AttrDict
+    from hifigan_tpu.models import Generator
+
+    h = AttrDict(
+        resblock="2",
+        upsample_rates=[4, 4],
+        upsample_kernel_sizes=[8, 8],
+        upsample_initial_channel=16,
+        resblock_kernel_sizes=[3],
+        resblock_dilation_sizes=[[1, 2]],
+        num_mels=8,
+    )
+    gen = Generator(h)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 4)))["params"]
+    n_leaves = len(jax.tree_util.tree_leaves(params))
+
+    writer = _FakeWriter()
+    log_model_parameters(writer, {"generator": {"params": params}}, step=7)
+    # one all-params histogram + one per parameter
+    assert len(writer.hists) == 1 + n_leaves
+    # tags are depth-ranked (rank() -> models_N/...); the all-params histogram
+    # tag ends at the model name
+    assert any(t.endswith("/generator") for t in writer.hists)
+    # snake images: at least one chained weight-matrix figure
+    assert len(writer.figures) >= 1
+
+    snakes = parameter_snake_images(params)
+    assert snakes
+    for name, img in snakes.items():
+        assert img.ndim == 2 and img.size > 0 and np.isfinite(img).all(), name
+
+    # single-variables form (sniffer trainer state)
+    writer2 = _FakeWriter()
+    log_model_parameters(writer2, {"params": params}, step=1)
+    assert len(writer2.hists) == 1 + n_leaves

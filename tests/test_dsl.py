@@ -284,3 +284,30 @@ def test_valve_decay_callback_updates_tagged_ratios():
     v200 = cb.update_valves(variables, global_step=200)
     for name, leaf in v200["valves"].items():
         np.testing.assert_allclose(float(leaf), 0.0)
+
+
+def test_sniffer_one_hot_false_ref_exact_variant():
+    """The reference's shipped sniffer default (one_hot=False,
+    label_bias_sniffer.py:84) feeds integer label tensors straight into
+    convs; the config variant exists behind the flag — no one-hot input
+    layer — and runs on (float-cast) label input."""
+    from hifigan_tpu.dsl.static_configs import generate_sniffers_configs_by_example
+
+    example = {
+        "content": {"sex": [0, 1], "sad": [0, 1, 2]},
+        "style": {"noise": [0, 1], "codec": [0, 1, 2, 3]},
+    }
+    layers = parse_layers(["conv:6,3,1,1,1,1e-00", "conv:x,3,1,1,1,1e-00"])
+    with_oh = generate_sniffers_configs_by_example(example, layers=layers, one_hot=True)
+    without = generate_sniffers_configs_by_example(example, layers=layers, one_hot=False)
+    assert repr(with_oh["content"]).count("one_hot") > 0
+    assert "one_hot" not in repr(without["content"])
+
+    mod = ConfigurableModule(config=without["content"])
+    labels = {
+        "sex": jnp.asarray(np.random.default_rng(0).integers(0, 2, (2, 8)), jnp.float32)[..., None],
+        "sad": jnp.asarray(np.random.default_rng(1).integers(0, 3, (2, 8)), jnp.float32)[..., None],
+    }
+    v = mod.init(jax.random.PRNGKey(0), labels)
+    y = mod.apply(v, labels)
+    assert set(y.keys()) == {"mean", "variance"}

@@ -169,3 +169,34 @@ def test_conv_transpose1d_polyphase_matches_torch(rng, in_ch, out_ch, k, stride,
         np.testing.assert_allclose(
             np.asarray(got).transpose(0, 2, 1), ref, atol=2e-5, rtol=1e-5, err_msg=method
         )
+
+
+def test_fold_weight_norm_square_transposed():
+    """Square (I == O) transposed kernels fold on the input-channel axes via
+    the structural ups_*/trans name marker, not shape sniffing."""
+    import jax.numpy as jnp
+
+    from hifigan_tpu.models.layers import fold_weight_norm
+    from hifigan_tpu.ops.conv import weight_norm_kernel
+
+    rng = np.random.default_rng(5)
+    v = jnp.asarray(rng.standard_normal((8, 6, 6)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(6).astype(np.float32))
+    folded = fold_weight_norm({"ups_0": {"v": v, "g": g}, "convs_0": {"v": v, "g": g}})
+    np.testing.assert_allclose(
+        np.asarray(folded["ups_0"]["kernel"]),
+        np.asarray(weight_norm_kernel(v, g, (0, 2))),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(folded["convs_0"]["kernel"]),
+        np.asarray(weight_norm_kernel(v, g, (0, 1))),
+        rtol=1e-6,
+    )
+    # explicit predicate override
+    folded2 = fold_weight_norm({"up": {"v": v, "g": g}}, is_transposed=lambda p: True)
+    np.testing.assert_allclose(
+        np.asarray(folded2["up"]["kernel"]),
+        np.asarray(weight_norm_kernel(v, g, (0, 2))),
+        rtol=1e-6,
+    )
