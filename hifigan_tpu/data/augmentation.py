@@ -24,6 +24,7 @@ the DSP is implemented natively (numpy/scipy):
 
 from __future__ import annotations
 
+import functools
 import random as random_module
 from pathlib import Path
 
@@ -113,6 +114,55 @@ def mu_law_roundtrip(wav: np.ndarray, mu: float = 255.0) -> np.ndarray:
 def band_limit(wav: np.ndarray, sr: int, cutoff: float) -> np.ndarray:
     sos = signal.butter(6, cutoff / (sr / 2), btype="low", output="sos")
     return signal.sosfilt(sos, wav).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _mdct_basis(n: int) -> np.ndarray:
+    half = n // 2
+    k = np.arange(half)[None, :]
+    t = np.arange(n)[:, None]
+    return np.cos(np.pi / half * (t + 0.5 + half / 2) * (k + 0.5)) * (2.0 / n)
+
+
+def mdct_codec_roundtrip(wav: np.ndarray, sr: int, n: int = 1024,
+                         bands: int = 32, mant_bits: int = 4,
+                         cutoff_frac: float = 0.4) -> np.ndarray:
+    """MDCT transform-codec round trip — the honest 'mp3'/'vorbis' stand-in
+    (no lame/ffmpeg exists on this host, reference augmentation_methods.py:72-95
+    uses real codecs). Sine-windowed 50%-overlap MDCT, per-band scalefactor +
+    uniform mantissa quantisation, low-bitrate band cut, TDAC overlap-add —
+    reproduces the codec-class artifacts (quantisation smearing, pre-echo,
+    high-band kill) rather than just a Butterworth roll-off."""
+    half = n // 2
+    x = np.asarray(wav, np.float64)
+    t_orig = len(x)
+    pad = (-len(x)) % half
+    x = np.pad(x, (half, half + pad))
+    window = np.sin(np.pi * (np.arange(n) + 0.5) / n)  # MPEG/Vorbis sine window
+    frames = np.lib.stride_tricks.sliding_window_view(x, n)[::half]
+    basis = _mdct_basis(n)
+    spec = (frames * window) @ basis  # (F, half)
+
+    # per-band scalefactor quantisation
+    band_edges = np.linspace(0, half, bands + 1).astype(int)
+    q = np.zeros_like(spec)
+    levels = 2 ** (mant_bits - 1)
+    cutoff_bin = int(half * cutoff_frac)  # MDCT bin k covers ~k/half * nyquist
+    for b in range(bands):
+        lo, hi = band_edges[b], band_edges[b + 1]
+        if lo >= cutoff_bin:
+            continue  # low-bitrate band kill
+        seg = spec[:, lo:hi]
+        scale = np.abs(seg).max(axis=1, keepdims=True)
+        step = np.maximum(scale / levels, 1e-10)
+        q[:, lo:hi] = np.round(seg / step) * step
+
+    recon = (q @ basis.T * n) * window  # IMDCT (Princen-Bradley TDAC scale)
+    out = np.zeros(len(x))
+    idx = np.arange(len(frames)) * half
+    for i, s in enumerate(idx):
+        out[s : s + n] += recon[i]
+    return out[half : half + t_orig].astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -215,9 +265,12 @@ class CodecAugmentor:
                     wav = mu_law_roundtrip(wav)
             elif aug_parameter in ("mp3", "vorbis"):
                 # no mp3/vorbis encoder exists on this host (no lame/ffmpeg);
-                # documented approximation: band cut like the codecs' default
-                # low-bitrate lowpass
-                wav = band_limit(wav, self.sample_rate, 0.4 * self.sample_rate)
+                # honest stand-in: an MDCT transform codec with the same
+                # artifact class (quantisation smearing, pre-echo, band kill).
+                # mp3-like: 1024-sample granules; vorbis-like: 2048 blocks.
+                wav = mdct_codec_roundtrip(
+                    wav, self.sample_rate, n=1024 if aug_parameter == "mp3" else 2048
+                )
             wav = wav[:n]
         return labels, wav, aug_parameter
 

@@ -141,16 +141,20 @@ class DiscriminatorS(nn.Module):
 
 
 class MultiPeriodDiscriminator(nn.Module):
-    """Real and fake waveforms run through each sub-discriminator as ONE
-    batched (2B) call — half the conv dispatches and double the MXU batch of
-    the reference's two sequential passes (src/models.py:169-178); conv
-    outputs are batch-independent so the split results are exact."""
+    """Periods 2/3/5/7/11 (reference src/models.py:164-188). ``fused=True``
+    runs real+fake as one batched 2B call per sub-discriminator (exact for
+    the weight-normed paths) — measured far slower in training on v5e; see
+    the attribute note."""
 
     periods: Sequence[int] = (2, 3, 5, 7, 11)
     channels: Sequence[int] = (32, 128, 512, 1024)
     precision: Any = None
     dtype: Any = None
-    fused: bool = True  # real+fake as one 2B pass; False = two B passes
+    # real+fake as one batched 2B pass per sub-discriminator. MEASURED
+    # PESSIMIZATION on v5e training: the D/G-pass backward through the
+    # concat+slice graph blows the step from 117 ms to 26 s (B16x8192, V1) —
+    # XLA schedules the split-cotangent scatter terribly. Keep False.
+    fused: bool = False
 
     @nn.compact
     def __call__(
@@ -188,7 +192,7 @@ class MultiScaleDiscriminator(nn.Module):
     num_scales: int = 3
     precision: Any = None
     dtype: Any = None
-    fused: bool = True
+    fused: bool = False  # see MultiPeriodDiscriminator.fused
 
     @nn.compact
     def __call__(

@@ -33,7 +33,8 @@ from hifigan_tpu.ops.pallas.resblock_tail import (
 
 def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
                       tile_blocks: int = 512, interpret: bool = False,
-                      min_fused_stage: int = 0, fold_post: bool = True):
+                      min_fused_stage: int = 0, fold_post: bool = True,
+                      trans_method: str = "dilated"):
     """(folded params, h) -> jittable fn(mel (B, M, T)) -> wav (B, 1, T*hop).
 
     The packed block kernels are baked in as constants (inference-only path;
@@ -81,7 +82,8 @@ def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
             ch = ch0 // (2 ** (i + 1))
             x = leaky_relu(x, LRELU_SLOPE)
             p = params[f"ups_{i}"]
-            x = conv_transpose1d(x, p["kernel"], p["bias"], stride=u, padding=(k - u) // 2)
+            x = conv_transpose1d(x, p["kernel"], p["bias"], stride=u, padding=(k - u) // 2,
+                                 method=trans_method)
             if i in packs:
                 x = fused_tail_stage(
                     x, packs[i], interpret=interpret, tile_blocks=tile_blocks,

@@ -78,7 +78,7 @@ def build_discriminators(h):
     dtype = h.get("disc_compute_dtype")
     if isinstance(dtype, str):
         dtype = jnp.dtype(dtype)
-    fused = h.get("disc_fused", True)
+    fused = h.get("disc_fused", False)  # fused 2B pass measured 200x slower on v5e
     mpd = MultiPeriodDiscriminator(
         periods=tuple(h.get("mpd_periods", (2, 3, 5, 7, 11))),
         channels=tuple(h.get("mpd_channels", (32, 128, 512, 1024))),

@@ -97,3 +97,23 @@ def test_gsm_augmentor_resamples_and_band_limits():
     spec_out = np.abs(np.fft.rfft(out))
     band = np.fft.rfftfreq(sr, 1 / sr) > 4500
     assert spec_out[band].max() < 0.01 * spec_in[band].max()
+
+
+def test_mdct_codec_roundtrip_artifacts():
+    """MDCT transform codec (mp3/vorbis stand-in): perfect reconstruction at
+    high bits, codec-class SNR + band kill at codec settings."""
+    from hifigan_tpu.data.augmentation import mdct_codec_roundtrip
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = (0.3 * np.sin(2 * np.pi * 440 * t) + 0.1 * np.sin(2 * np.pi * 3000 * t)).astype(np.float32)
+    lossless = mdct_codec_roundtrip(x, sr, mant_bits=16, cutoff_frac=1.0)
+    assert np.abs(lossless[512:-512] - x[512:-512]).max() < 1e-3
+    y = mdct_codec_roundtrip(x, sr)
+    assert y.shape == x.shape
+    a, b = x[1024:-1024], y[1024:-1024]
+    snr = 10 * np.log10((a**2).mean() / ((a - b) ** 2).mean())
+    assert 10.0 < snr < 60.0, snr  # lossy but far from destroyed
+    f = np.fft.rfftfreq(len(b), 1 / sr)
+    spec = np.abs(np.fft.rfft(b))
+    assert spec[f > 0.45 * sr / 2].max() < 0.01 * spec.max()  # band kill
