@@ -35,7 +35,11 @@ def bench_train() -> None:
     at batch 16 x 8192 samples; emits v1_train_step_ms with vs_baseline =
     speedup over the round-1 implementation's 133.5 ms."""
     h = get_config("v1")
-    h = type(h)({**h, "disc_compute_dtype": "bfloat16"})
+    # bf16 conv compute in BOTH the discriminators and the generator
+    # (params/losses stay f32): 133.5 -> 106.0 -> 99.4 ms measured on v5e
+    h = type(h)(
+        {**h, "disc_compute_dtype": "bfloat16", "gen_compute_dtype": "bfloat16"}
+    )
     batch, seg = 16, 8192
 
     from hifigan_tpu.train.vocoder import create_train_state, make_train_step

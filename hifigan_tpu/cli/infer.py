@@ -39,11 +39,41 @@ def load_generator_params(checkpoint_file: str, fold: bool = True):
     return params, already_folded
 
 
+def make_apply(a, h, params, folded):
+    """jitted (params, mel (B, M, T)) -> wav (B, 1, T*hop), honoring
+    --fast (fused-Pallas low-latency tail, folded checkpoints only)."""
+    if getattr(a, "fast", False) and folded:
+        from hifigan_tpu.models.fast_infer import make_fast_vocoder
+
+        fast_fn = make_fast_vocoder(
+            h, params, interpret=jax.default_backend() == "cpu"
+        )
+        return jax.jit(lambda p, m: fast_fn(m))
+    gen = Generator(h, folded=folded)
+    return jax.jit(lambda p, m: gen.apply({"params": p}, m))
+
+
+def synthesize(a, h, apply, params, x):
+    """mel (B, M, T) -> wav ndarray, honoring --streaming_chunk (fixed-size
+    overlap windows; exact — the halo covers the receptive field, so the
+    result matches full-sequence synthesis; BASELINE config #3 'batched
+    streaming inference with weight-norm folded')."""
+    chunk = int(getattr(a, "streaming_chunk", 0) or 0)
+    if chunk > 0:
+        from hifigan_tpu.parallel.halo import generator_halo_frames, streaming_vocode
+
+        hop = 1
+        for u in h["upsample_rates"]:
+            hop *= u
+        halo = generator_halo_frames(h)
+        return streaming_vocode(apply, params, x, chunk, halo, hop)
+    return np.asarray(apply(params, x))
+
+
 def inference(a, h) -> None:
     params, folded = load_generator_params(a.checkpoint_file)
-    gen = Generator(h, folded=folded)
     mel_cfg = MelConfig.from_hparams(h)
-    apply = jax.jit(lambda p, m: gen.apply({"params": p}, m))
+    apply = make_apply(a, h, params, folded)
 
     os.makedirs(a.output_dir, exist_ok=True)
     for filename in sorted(os.listdir(a.input_wavs_dir)):
@@ -51,7 +81,7 @@ def inference(a, h) -> None:
             continue
         wav, sr = load_wav(os.path.join(a.input_wavs_dir, filename))
         x = log_mel_spectrogram(jnp.asarray(wav), mel_cfg)
-        y = apply(params, x)
+        y = synthesize(a, h, apply, params, x if x.ndim == 3 else x[None])
         audio = np.asarray(y[0, 0])
         audio = (audio * MAX_WAV_VALUE).astype(np.int16)
         out = os.path.join(a.output_dir, os.path.splitext(filename)[0] + "_generated.wav")
@@ -65,6 +95,11 @@ def main() -> None:
     parser.add_argument("--input_wavs_dir", default="test_files")
     parser.add_argument("--output_dir", default="generated_files")
     parser.add_argument("--checkpoint_file", required=True)
+    parser.add_argument("--fast", action="store_true",
+                        help="fused-Pallas low-latency tail (folded WN)")
+    parser.add_argument("--streaming_chunk", type=int, default=0,
+                        help="vocode in fixed windows of N mel frames with "
+                             "receptive-field overlap (0 = whole utterance)")
     a = parser.parse_args()
 
     config_file = os.path.join(os.path.split(a.checkpoint_file)[0], "config.json")

@@ -11,20 +11,17 @@ import argparse
 import json
 import os
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from hifigan_tpu.audio import MAX_WAV_VALUE, save_wav
 from hifigan_tpu.config import AttrDict
-from hifigan_tpu.cli.infer import load_generator_params
-from hifigan_tpu.models import Generator
+from hifigan_tpu.cli.infer import load_generator_params, make_apply, synthesize
 
 
 def inference_e2e(a, h) -> None:
     params, folded = load_generator_params(a.checkpoint_file)
-    gen = Generator(h, folded=folded)
-    apply = jax.jit(lambda p, m: gen.apply({"params": p}, m))
+    apply = make_apply(a, h, params, folded)
 
     os.makedirs(a.output_dir, exist_ok=True)
     for filename in sorted(os.listdir(a.input_mels_dir)):
@@ -33,7 +30,7 @@ def inference_e2e(a, h) -> None:
         x = np.load(os.path.join(a.input_mels_dir, filename))
         if x.ndim == 2:
             x = x[None]
-        y = apply(params, jnp.asarray(x))
+        y = synthesize(a, h, apply, params, jnp.asarray(x))
         audio = np.asarray(y[0, 0])
         audio = (audio * MAX_WAV_VALUE).astype(np.int16)
         out = os.path.join(
@@ -49,6 +46,11 @@ def main() -> None:
     parser.add_argument("--input_mels_dir", default="test_mel_files")
     parser.add_argument("--output_dir", default="generated_files_from_mel")
     parser.add_argument("--checkpoint_file", required=True)
+    parser.add_argument("--fast", action="store_true",
+                        help="fused-Pallas low-latency tail (folded WN)")
+    parser.add_argument("--streaming_chunk", type=int, default=0,
+                        help="vocode in fixed windows of N mel frames with "
+                             "receptive-field overlap (0 = whole utterance)")
     a = parser.parse_args()
 
     config_file = os.path.join(os.path.split(a.checkpoint_file)[0], "config.json")

@@ -28,29 +28,46 @@ from hifigan_tpu.ops.pallas.resblock_tail import (
     fused_tail_stage,
     pack_generator_tail,
     prepare_post,
+    prepare_upsample,
 )
 
 
 def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
                       tile_blocks: int = 512, interpret: bool = False,
                       min_fused_stage: int = 0, fold_post: bool = True,
-                      trans_method: str = "dilated"):
+                      trans_method: str = "polyphase", fold_up: bool = False):
     """(folded params, h) -> jittable fn(mel (B, M, T)) -> wav (B, 1, T*hop).
 
     The packed block kernels are baked in as constants (inference-only path;
     rebuild after updating params). ``fold_post`` folds the generator tail
     (lrelu 0.01 -> conv_post -> tanh) into the last fused stage's kernel,
-    eliminating the final (T, C) HBM round trip.
+    eliminating the final (T, C) HBM round trip. ``fold_up`` folds each
+    fused stage's ConvTranspose1d upsampler (+ its lrelu) into the same
+    kernel when the block geometry allows (stride-2 stages: the V1/V2 tail).
+    MEASURED SLOWER on v5e at B=1 (507x vs 676x RT): the blocked transposed
+    conv costs more in-kernel MACs + halo than the XLA polyphase upsampler
+    it replaces — default off; don't redo. ``trans_method`` applies to the
+    XLA upsamplers; 'polyphase' wins at batch 1 on TPU (the lhs-dilated form
+    wastes (u-1)/u of its MACs on zeros): V1 B=1 serving measures **676x RT**
+    (bf16, 256-frame mel) vs 533x plain-XLA-bf16.
     """
     num_kernels = len(h["resblock_kernel_sizes"])
     stages = list(enumerate(zip(h["upsample_rates"], h["upsample_kernel_sizes"])))
     ch0 = h["upsample_initial_channel"]
 
     packs: dict[int, dict] = {}
-    for i, _ in stages:
+    pre_packs: dict[int, dict] = {}
+    for i, (u, k) in stages:
         ch = ch0 // (2 ** (i + 1))
         if ch <= 64 and 128 % ch == 0 and i >= min_fused_stage:
-            packs[i] = pack_generator_tail(h, folded_params, i, block=128 // ch)
+            block = 128 // ch
+            packs[i] = pack_generator_tail(h, folded_params, i, block=block)
+            # the upsampler folds when in/out lane widths agree:
+            # (block/u) * 2ch == block * ch  <=>  u == 2
+            if fold_up and block % u == 0 and (block // u) * 2 * ch == block * ch:
+                pre_packs[i] = prepare_upsample(
+                    folded_params[f"ups_{i}"], u, (k - u) // 2, block
+                )
 
     last_stage = stages[-1][0]
     post_pack = None
@@ -80,6 +97,13 @@ def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
         x = conv1d(x, p["kernel"], p["bias"], padding=3)
         for i, (u, k) in stages:
             ch = ch0 // (2 ** (i + 1))
+            if i in pre_packs:  # lrelu + upsampler folded into the kernel
+                x = fused_tail_stage(
+                    x, packs[i], interpret=interpret, tile_blocks=tile_blocks,
+                    post_pack=post_pack if i == last_stage else None,
+                    pre_pack=pre_packs[i],
+                )
+                continue
             x = leaky_relu(x, LRELU_SLOPE)
             p = params[f"ups_{i}"]
             x = conv_transpose1d(x, p["kernel"], p["bias"], stride=u, padding=(k - u) // 2,

@@ -73,6 +73,73 @@ def prepare_tail_stage(params_stage, dilations, block: int, pair_size: int) -> d
     return {"resblocks": packed, "block": block, "pair_size": pair_size}
 
 
+def _blocked_trans_kernel_np(
+    kernel: np.ndarray, stride: int, padding: int, block_out: int
+) -> tuple[np.ndarray, list[int]]:
+    """(k, Ci, Co) TRANSPOSED-conv tap kernel -> blocked matmul form.
+
+    torch ConvTranspose1d(stride=u, padding=p) semantics (out[o] += in[i] @
+    W[k] where o = i*u - p + k) in the shared time-block index space: with
+    output blocks of ``block_out`` samples and input blocks of b_in =
+    block_out/u samples, block t of the output depends on input blocks t+q:
+
+        out[t*b_out + r] = sum_q in_block[t+q] @ K[q],
+        K[q][s*Ci + ci, r*Co + co] += W[ktap, ci, co]
+        where ktap = r - q*b_out - s*u + p  (kept when 0 <= ktap < k).
+
+    Returns ((nq, b_in*Ci, block_out*Co), live_q) like _blocked_kernel_np, so
+    an upsampler can run as the leading matmul chain of a fused tail stage.
+    """
+    k, ci, co = kernel.shape
+    u, p = stride, padding
+    assert block_out % u == 0, "output block must be a multiple of the stride"
+    b_in = block_out // u
+    entries = []  # (q, s, r, ktap)
+    for r in range(block_out):
+        for s in range(b_in):
+            base = r - s * u + p
+            q_lo = -(-(base - (k - 1)) // block_out)  # ceil
+            q_hi = base // block_out  # floor
+            for q in range(q_lo, q_hi + 1):
+                ktap = base - q * block_out
+                if 0 <= ktap < k:
+                    entries.append((q, s, r, ktap))
+    if not entries:
+        return np.zeros((1, b_in * ci, block_out * co), np.float32), [0]
+    q_min = min(e[0] for e in entries)
+    q_max = max(e[0] for e in entries)
+    nq = q_max - q_min + 1
+    big = np.zeros((nq, b_in, block_out, ci, co), np.float32)
+    for q, s, r, ktap in entries:
+        big[q - q_min, s, r] += np.asarray(kernel[ktap], np.float32)
+    big = big.transpose(0, 1, 3, 2, 4).reshape(nq, b_in * ci, block_out * co)
+    live = [qi for qi in range(nq) if np.abs(big[qi]).sum() > 0]
+    if not live:
+        live = [-q_min]
+    big = big[live]
+    live_q = [q_min + qi for qi in live]
+    return big, live_q
+
+
+def prepare_upsample(trans_params: dict, stride: int, padding: int, block: int) -> dict:
+    """Pack a folded ConvTranspose1d upsampler (kernel (k, Ci, Co), bias
+    (Co,)) so :func:`fused_tail_stage` can absorb it as ``pre_pack``: the
+    stage then computes lrelu -> upsample -> MRF [-> post] entirely in VMEM,
+    removing the XLA transposed conv and its (T, C) HBM round trips
+    (reference stage structure: src/models.py:100-111)."""
+    big, live_q = _blocked_trans_kernel_np(
+        np.asarray(trans_params["kernel"]), stride, padding, block
+    )
+    bias = np.tile(np.asarray(trans_params["bias"], np.float32), block)[None, :]
+    return {
+        "big": big,
+        "live_q": tuple(live_q),
+        "bias": bias,
+        "b_in": block // stride,
+        "ci": int(np.asarray(trans_params["kernel"]).shape[1]),
+    }
+
+
 def prepare_post(post_params: dict, block: int) -> dict:
     """Pack the generator's conv_post (k7, C -> 1) for in-kernel folding:
     lrelu(0.01) -> conv_post -> tanh happens inside the tail kernel, saving
@@ -84,7 +151,8 @@ def prepare_post(post_params: dict, block: int) -> dict:
 
 def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
                      tile_blocks: int = 512, split_resblocks: bool = False,
-                     post_pack: dict | None = None) -> jax.Array:
+                     post_pack: dict | None = None,
+                     pre_pack: dict | None = None) -> jax.Array:
     """x: (B, T, C) -> mean of resblock outputs, same shape (the MRF stage).
 
     ``split_resblocks=True`` runs one pallas call per resblock and averages
@@ -95,9 +163,17 @@ def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
     ``post_pack`` (from :func:`prepare_post`) folds the generator tail —
     lrelu(0.01) -> conv_post -> tanh (reference src/models.py:112-114) —
     into the same kernel; the result is then (B, T, 1) float32 waveform.
+
+    ``pre_pack`` (from :func:`prepare_upsample`) folds the stage's
+    ConvTranspose1d upsampler (and the lrelu before it, reference
+    src/models.py:101-103) into the same kernel: x is then the PREVIOUS
+    stage's output (B, T/u, u*C) and the upsample runs as the leading
+    blocked matmul chain — no XLA transposed conv, no HBM round trip of
+    either the pre-upsample or post-upsample activation.
     """
     if split_resblocks and len(packed["resblocks"]) > 1:
         assert post_pack is None, "post folding requires the monolithic form"
+        assert pre_pack is None, "upsampler folding requires the monolithic form"
         n = len(packed["resblocks"])
         acc = None
         for rb in packed["resblocks"]:
@@ -107,10 +183,23 @@ def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
         return acc / n
     block = packed["block"]
     pair_size = packed["pair_size"]
-    b, t, c = x.shape
-    lanes = block * c
-    assert t % block == 0, "time must divide the block factor"
-    t_blocks_total = t // block
+    if pre_pack is not None:
+        b, t_in, c_in = x.shape
+        b_in = pre_pack["b_in"]
+        assert c_in == pre_pack["ci"], "pre_pack input channels mismatch"
+        assert t_in % b_in == 0, "input time must divide the input block factor"
+        lanes = int(pre_pack["big"].shape[2])  # block * C_out
+        c = lanes // block
+        t = t_in * (block // b_in)  # output samples = T_in * stride
+        # one shared zero-padded work buffer => equal lane widths (128 in
+        # every HiFi-GAN tail case: b_in*2C == block*C)
+        assert b_in * c_in == lanes, "pre_pack lane width must match the stage's"
+        t_blocks_total = t_in // b_in
+    else:
+        b, t, c = x.shape
+        lanes = block * c
+        assert t % block == 0, "time must divide the block factor"
+        t_blocks_total = t // block
 
     # conservative stage halo (blocks): longest resblock chain's per-conv
     # radii, rounded to the f32 sublane tile (8) so every in-kernel slice
@@ -121,6 +210,8 @@ def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
     )
     if post_pack is not None:
         halo_b += max(abs(q) for q in post_pack["live_q"]) + 1
+    if pre_pack is not None:
+        halo_b += max(abs(q) for q in pre_pack["live_q"]) + 1
     halo_b = -(-halo_b // 8) * 8
 
     tile_b = min(tile_blocks, t_blocks_total)
@@ -133,6 +224,12 @@ def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
     work = tile_b + 2 * halo_b
 
     weights: list[jax.Array] = []
+    pre_span: tuple[int, ...] = ()
+    if pre_pack is not None:  # pre weights FIRST: kernel reads w_refs[0:2]
+        weights.append(jnp.asarray(pre_pack["big"], x.dtype))
+        weights.append(jnp.asarray(pre_pack["bias"], x.dtype))
+        pre_span = tuple(pre_pack["live_q"])
+    w_off = 2 if pre_span else 0
     spans: list[list[tuple[int, ...]]] = []
     for rb in packed["resblocks"]:
         rb_spans = []
@@ -151,6 +248,8 @@ def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
     qmax_abs = max(max(abs(q) for q in qs) for rb in spans for qs in rb)
     if post_span:
         qmax_abs = max(qmax_abs, max(abs(q) for q in post_span))
+    if pre_span:
+        qmax_abs = max(qmax_abs, max(abs(q) for q in pre_span))
     qmax_abs = -(-qmax_abs // 8) * 8
 
     flat_spans = [sp for rb in spans for sp in rb]
@@ -181,10 +280,23 @@ def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
         right = jnp.minimum(t_blocks_total - ti * tile_b + halo_b, work)
         seq_mask = ((row >= left) & (row < right)).astype(dtype)
 
+        if pre_span:
+            # folded upsampler: lrelu (pre-upsample activation, ref
+            # src/models.py:101) -> blocked ConvTranspose1d matmul chain
+            xin = jnp.maximum(x0, 0) + jnp.asarray(LRELU_SLOPE, dtype) * jnp.minimum(x0, 0)
+            pad_buf[qmax_abs : qmax_abs + work, :] = xin * seq_mask
+            K0 = w_refs[0]
+            acc0 = jnp.zeros((work, lanes), jnp.float32)
+            for qi, q in enumerate(pre_span):
+                seg = pad_buf[qmax_abs + q : qmax_abs + q + work, :]
+                acc0 = acc0 + jnp.dot(seg, K0[qi], preferred_element_type=jnp.float32)
+            bias0 = w_refs[1][0, :].astype(jnp.float32)
+            x0 = (acc0 + bias0[None, :]).astype(dtype)
+
         def conv(tcur, wi):
             live_q = flat_spans[wi // 2]
-            K = w_refs[wi]
-            bias = w_refs[wi + 1]
+            K = w_refs[w_off + wi]
+            bias = w_refs[w_off + wi + 1]
             pad_buf[qmax_abs : qmax_abs + work, :] = tcur * seq_mask
             accum = jnp.zeros((work, lanes), jnp.float32)
             for qi, q in enumerate(live_q):

@@ -120,7 +120,15 @@ def create_train_state(h, key: jax.Array, segment_size: int | None = None) -> Vo
 
 
 def _gen_apply(h, params_g, mel):
-    wav = Generator(h).apply({"params": params_g}, mel)
+    """Generator forward for the train/eval steps.
+
+    ``gen_compute_dtype: 'bfloat16'`` runs the generator conv stack (fwd AND
+    the vjp backward) in bf16 — params, the tanh output, and every loss stay
+    f32 (same mixed-precision contract as ``disc_compute_dtype``)."""
+    dtype = h.get("gen_compute_dtype") or jnp.float32
+    if isinstance(dtype, str):
+        dtype = jnp.dtype(dtype)
+    wav = Generator(h, dtype=dtype).apply({"params": params_g}, mel)
     return wav[:, 0, :]  # (B, T)
 
 

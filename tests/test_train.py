@@ -102,6 +102,30 @@ def test_train_step_finetuning_batch_with_mel():
     assert np.isfinite(float(metrics["loss_gen_all"]))
 
 
+def test_train_step_bf16_compute_dtypes():
+    """Mixed-precision step (bf16 generator AND discriminator compute, f32
+    params/losses) stays finite and close to the f32 step on the same batch."""
+    b = _batch(tiny_config(), seed=7)
+    losses = {}
+    for tag, over in {
+        "f32": {},
+        "bf16": {"gen_compute_dtype": "bfloat16", "disc_compute_dtype": "bfloat16"},
+    }.items():
+        h = tiny_config(**over)
+        state = create_train_state(h, jax.random.PRNGKey(0))
+        step = make_train_step(h, donate=False)
+        _, metrics = step(state, b)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (tag, k)
+        # params must stay f32 regardless of compute dtype
+        assert all(
+            leaf.dtype == jnp.float32
+            for leaf in jax.tree_util.tree_leaves(state.params_g)
+        )
+        losses[tag] = float(metrics["loss_gen_all"])
+    assert abs(losses["bf16"] - losses["f32"]) / abs(losses["f32"]) < 0.05
+
+
 def test_eval_step():
     h = tiny_config()
     state = create_train_state(h, jax.random.PRNGKey(0))

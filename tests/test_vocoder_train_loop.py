@@ -198,3 +198,50 @@ def test_infer_e2e_cli(lj_corpus, tmp_path):
 
     sr, data = wavfile.read(outs[0])
     assert sr == h.sampling_rate and data.shape[0] == mel.shape[1] * h.hop_size
+
+
+def test_infer_e2e_cli_streaming_matches_full(lj_corpus, tmp_path):
+    """--streaming_chunk N vocodes in fixed overlap windows and must match
+    whole-utterance synthesis (the halo covers the receptive field)."""
+    import json as _json
+
+    from hifigan_tpu.cli.infer_e2e import inference_e2e
+    from hifigan_tpu.data.meldataset import mel_spectrogram_np
+    from hifigan_tpu.audio.io import load_wav
+    from hifigan_tpu.models import Generator
+    from hifigan_tpu.train.checkpoint import save_checkpoint
+
+    h = tiny_train_config()
+    mels_dir = tmp_path / "mels"
+    mels_dir.mkdir()
+    wav_path = next((lj_corpus / "wavs").glob("*.wav"))
+    wav, _ = load_wav(str(wav_path))
+    mel = mel_spectrogram_np(
+        wav[0], h.n_fft, h.num_mels, h.sampling_rate, h.hop_size, h.win_size, h.fmin, h.fmax
+    )
+    np.save(mels_dir / "utt1.npy", mel.astype(np.float32))
+
+    ckpt_dir = tmp_path / "cp"
+    ckpt_dir.mkdir()
+    gen = Generator(h)
+    params = gen.init(jax.random.PRNGKey(0), np.zeros((1, h.num_mels, 8), np.float32))["params"]
+    save_checkpoint(str(ckpt_dir / "g_00000100"), {"generator": params})
+    with open(ckpt_dir / "config.json", "w") as f:
+        _json.dump(dict(h), f)
+
+    base = AttrDict(
+        input_mels_dir=str(mels_dir),
+        output_dir=str(tmp_path / "out_full"),
+        checkpoint_file=str(ckpt_dir / "g_00000100"),
+    )
+    inference_e2e(base, h)
+    stream = AttrDict({**base, "output_dir": str(tmp_path / "out_stream"), "streaming_chunk": 4})
+    inference_e2e(stream, h)
+
+    from scipy.io import wavfile
+
+    _, full = wavfile.read(next((tmp_path / "out_full").glob("*.wav")))
+    _, chunked = wavfile.read(next((tmp_path / "out_stream").glob("*.wav")))
+    assert full.shape == chunked.shape
+    # int16 quantised output: allow 1 LSB of float re-association noise
+    assert np.max(np.abs(full.astype(np.int32) - chunked.astype(np.int32))) <= 1
