@@ -3,7 +3,9 @@
 Baseline (reference README.md:17-18, HiFi-GAN paper): 167.9x real-time on a
 V100 at 22.05 kHz. North star (BASELINE.json): >=500x per TPU v5e chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric ({"metric", "value", "unit", "vs_baseline"});
+the headline inference RTF is the LAST line (the driver parses the last
+line). Also emitted: v1_train_step_ms, v1_b1_serving_rtf.
 
 Method: folded-weight-norm V1 generator, bfloat16 compute (MXU path),
 batch 128 x 256 mel frames (= 8.4 M samples = 380 s of audio per call).
@@ -72,6 +74,48 @@ def bench_train() -> None:
     )
 
 
+def bench_b1_serving() -> None:
+    """Single-stream (B=1) serving latency on the fast path (polyphase
+    upsamplers + fused-Pallas MRF tail + folded conv_post); emits
+    v1_b1_serving_rtf with vs_baseline vs the paper's 167.9x (which was
+    itself measured single-stream on a V100)."""
+    from hifigan_tpu.models.fast_infer import make_fast_vocoder
+
+    h = get_config("v1")
+    frames = 256
+    key = jax.random.PRNGKey(0)
+    mel = jax.random.normal(key, (1, h["num_mels"], frames), jnp.float32) * 2.0 - 5.0
+    params = Generator(h).init(key, mel)["params"]
+    fast = make_fast_vocoder(h, fold_weight_norm(params))
+    step = jax.jit(lambda m, acc: acc + fast(m).astype(jnp.float32).sum())
+
+    acc = step(mel, jnp.zeros(()))
+    float(acc)  # compile + warm
+
+    iters = 50
+    acc = jnp.zeros(())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        acc = step(mel, acc)
+    float(acc)
+    dt = (time.perf_counter() - t0) / iters
+
+    hop = 1
+    for u in h["upsample_rates"]:
+        hop *= u
+    rtf = frames * hop / h["sampling_rate"] / dt
+    print(
+        json.dumps(
+            {
+                "metric": "v1_b1_serving_rtf",
+                "value": round(rtf, 1),
+                "unit": "x_realtime_22k05",
+                "vs_baseline": round(rtf / BASELINE_RTF, 2),
+            }
+        )
+    )
+
+
 def main() -> None:
     h = get_config("v1")
     batch, frames = 128, 256
@@ -123,4 +167,5 @@ def main() -> None:
 
 if __name__ == "__main__":
     bench_train()
+    bench_b1_serving()
     main()  # headline inference RTF stays the LAST line for the driver parser

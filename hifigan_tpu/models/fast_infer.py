@@ -35,7 +35,8 @@ from hifigan_tpu.ops.pallas.resblock_tail import (
 def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
                       tile_blocks: int = 512, interpret: bool = False,
                       min_fused_stage: int = 0, fold_post: bool = True,
-                      trans_method: str = "polyphase", fold_up: bool = False):
+                      trans_method: str = "polyphase", fold_up: bool = False,
+                      max_fused_ch: int = 128):
     """(folded params, h) -> jittable fn(mel (B, M, T)) -> wav (B, 1, T*hop).
 
     The packed block kernels are baked in as constants (inference-only path;
@@ -48,8 +49,11 @@ def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
     conv costs more in-kernel MACs + halo than the XLA polyphase upsampler
     it replaces — default off; don't redo. ``trans_method`` applies to the
     XLA upsamplers; 'polyphase' wins at batch 1 on TPU (the lhs-dilated form
-    wastes (u-1)/u of its MACs on zeros): V1 B=1 serving measures **676x RT**
-    (bf16, 256-frame mel) vs 533x plain-XLA-bf16.
+    wastes (u-1)/u of its MACs on zeros). ``max_fused_ch`` gates which MRF
+    stages run in the fused Pallas kernel: 128 (default) also fuses the
+    128-channel stage with block=1 (no time folding) and measures **800x RT**
+    at B=1 (bf16, 256-frame mel) vs 675x with max_fused_ch=64 and 533x
+    plain-XLA-bf16 on v5e.
     """
     num_kernels = len(h["resblock_kernel_sizes"])
     stages = list(enumerate(zip(h["upsample_rates"], h["upsample_kernel_sizes"])))
@@ -59,7 +63,7 @@ def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
     pre_packs: dict[int, dict] = {}
     for i, (u, k) in stages:
         ch = ch0 // (2 ** (i + 1))
-        if ch <= 64 and 128 % ch == 0 and i >= min_fused_stage:
+        if ch <= max_fused_ch and 128 % ch == 0 and i >= min_fused_stage:
             block = 128 // ch
             packs[i] = pack_generator_tail(h, folded_params, i, block=block)
             # the upsampler folds when in/out lane widths agree:

@@ -98,3 +98,20 @@ def test_fused_tail_with_folded_upsampler(version, stage):
     got = fused_tail_stage(x_prev, packed, interpret=True, tile_blocks=64, pre_pack=pre)
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_fused_tail_block1_128ch_stage():
+    """block=1 (128-channel stage, no time folding) — the max_fused_ch=128
+    serving path (measured fastest at B=1 on v5e)."""
+    h = get_config("v1")
+    fp = fold_weight_norm(
+        Generator(h).init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 8)))["params"]
+    )
+    stage = 1  # 128 channels
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 512, 128)).astype(np.float32) * 0.3
+    )
+    ref = _mrf_reference(h, fp, stage, x)
+    packed = pack_generator_tail(h, fp, stage, block=1)
+    got = fused_tail_stage(x, packed, interpret=True, tile_blocks=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
