@@ -33,6 +33,7 @@ Node vocabulary (== reference configurable_module.py:51-309):
 
 from __future__ import annotations
 
+import ast
 from collections.abc import Mapping
 
 import math
@@ -91,6 +92,10 @@ class ConfigurableModule(nn.Module):
     config: Any
     mel_sampling_rate_override: int | None = None
     update_spectral: bool = False  # run+store spectral-norm power iterations
+    # Internal (vmapped-ensemble support): also return the tagged-feature
+    # side channel as a {"{i}|{tags!r}": value} dict so it can cross an
+    # nn.vmap boundary (string tags live in the treedef, values are arrays).
+    return_feats: bool = False
 
     def __post_init__(self):
         # Canonicalise BEFORE flax freezes attributes (lists -> tuples would
@@ -102,7 +107,9 @@ class ConfigurableModule(nn.Module):
     @nn.compact
     def __call__(self, *x):
         args = x if len(x) > 1 else (x[0],)
-        y, _feats = self._eval(self.config, args, "m")
+        y, feats = self._eval(self.config, args, "m")
+        if self.return_feats:
+            return y, {f"{i}|{tags!r}": v for i, (tags, v) in enumerate(feats)}
         return y
 
     # -- core recursion ----------------------------------------------------
@@ -134,6 +141,49 @@ class ConfigurableModule(nn.Module):
         if tags:
             feats = feats + [(tags, y)]
         return y, feats
+
+    # -- vmapped homogeneous ensemble --------------------------------------
+
+    def _ensemble_vmapped(self, member_cfg, n: int, args: tuple, path: str) -> tuple[Any, Feats]:
+        """Evaluate an N-member ensemble of one shared config by tracing the
+        member ONCE under ``nn.vmap`` over stacked (axis-0) member params.
+
+        The tagged-feature side channel crosses the vmap boundary as a
+        string-keyed dict (``return_feats``); afterwards it is unstacked back
+        into member-major ``[(tags, value)]`` order — identical structure to
+        the unrolled loop, so `fmap` capture spanning the ensemble boundary
+        (the all-in-one discriminator, static_configs.get_discriminator_config)
+        sees the same flat feature list.
+        """
+        VmappedMember = nn.vmap(
+            ConfigurableModule,
+            in_axes=None,
+            out_axes=0,
+            variable_axes={"params": 0, "spectral": 0, "valves": 0},
+            split_rngs={"params": True, "noise": True},
+            axis_size=n,
+        )
+        member = VmappedMember(
+            config=member_cfg,
+            mel_sampling_rate_override=self.mel_sampling_rate_override,
+            update_spectral=self.update_spectral,
+            return_feats=True,
+            name=f"{path}_ens",
+        )
+        stacked, feat_dict = member(*args)
+
+        feats: Feats = []
+        if feat_dict:
+            items = sorted(feat_dict.items(), key=lambda kv: int(kv[0].split("|", 1)[0]))
+            tags_list = [tuple(ast.literal_eval(k.split("|", 1)[1])) for k, _ in items]
+            vals = [v for _, v in items]
+            for i in range(n):
+                for tags, sv in zip(tags_list, vals):
+                    feats.append((tags, jax.tree_util.tree_map(lambda a, i=i: a[i], sv)))
+
+        means = jax.tree_util.tree_map(lambda s: jnp.mean(s, axis=0), stacked)
+        variances = jax.tree_util.tree_map(lambda s: jnp.var(s, axis=0, ddof=1), stacked)
+        return {"mean": means, "variance": variances}, feats
 
     # -- node dispatch -----------------------------------------------------
 
@@ -399,8 +449,19 @@ class ConfigurableModule(nn.Module):
 
         # ---- composites ----
         if name == "ensemble":
+            subs = [s if is_normalized(s) else normalize_config(s) for s in p]
+            # Every shipped config builds N IDENTICAL member configs
+            # (static_configs/classifiers `for _ in range(ensemble_size)`), so
+            # the idiomatic-XLA path traces the member body ONCE under
+            # nn.vmap over stacked member params — ~N x smaller HLO than the
+            # unrolled loop (compile time and program size both matter: the
+            # production-scale distill step is tens of MLIR megabytes
+            # unrolled). Members still get independent param init
+            # (split_rngs), preserving ensemble variance semantics.
+            if len(subs) > 1 and all(s == subs[0] for s in subs[1:]):
+                return self._ensemble_vmapped(subs[0], len(subs), args, path)
             results = []
-            for i, sub in enumerate(p):
+            for i, sub in enumerate(subs):
                 out, f = self._eval(sub, args, f"{path}_e{i}")
                 results.append(out)
                 feats.extend(f)
