@@ -140,6 +140,12 @@ class NormConv1d(_NormConvBase):
     use_bias: bool = True
     time_block: int = 1
     precision: Any = None
+    # Small-group grouped convs starve the MXU (per-group features << the
+    # 128 lanes; XLA's grouped lowering measured 3.9 ms vs 2.3 ms for the
+    # exact block-diagonal dense form on the MSD's g=4 k41 layer, v5e).
+    # 'auto': densify g<=4 on accelerators; 'native'/'block_dense' force.
+    # Exact semantics either way (off-block weights are zeros).
+    groups_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, update_spectral: bool = False) -> jax.Array:
@@ -171,6 +177,25 @@ class NormConv1d(_NormConvBase):
                 x, kernel, bias, dilation=self.dilation, block=self.time_block,
                 precision=self.precision,
             )
+        groups = self.groups
+        if groups > 1 and (
+            self.groups_impl == "block_dense"
+            or (
+                self.groups_impl == "auto"
+                and groups <= 4
+                and jax.default_backend() != "cpu"
+            )
+        ):
+            cig = in_ch // groups
+            cog = self.features // groups
+            dense = jnp.zeros(
+                (self.kernel_size, in_ch, self.features), kernel.dtype
+            )
+            for gi in range(groups):
+                dense = dense.at[
+                    :, gi * cig : (gi + 1) * cig, gi * cog : (gi + 1) * cog
+                ].set(kernel[:, :, gi * cog : (gi + 1) * cog])
+            kernel, groups = dense, 1
         return conv1d(
             x,
             kernel,
@@ -178,7 +203,7 @@ class NormConv1d(_NormConvBase):
             stride=self.stride,
             padding=self.padding,
             dilation=self.dilation,
-            groups=self.groups,
+            groups=groups,
             precision=self.precision,
         )
 

@@ -200,3 +200,19 @@ def test_fold_weight_norm_square_transposed():
         np.asarray(weight_norm_kernel(v, g, (0, 2))),
         rtol=1e-6,
     )
+
+
+def test_grouped_conv_block_dense_exact():
+    """groups_impl='block_dense' computes the identical function to the
+    native grouped lowering (off-block weights are zeros)."""
+    import jax
+    from hifigan_tpu.models.layers import NormConv1d
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 16)), jnp.float32)
+    kw = dict(features=32, kernel_size=5, stride=2, padding=2, groups=4, norm="weight")
+    m_native = NormConv1d(**kw, groups_impl="native")
+    m_dense = NormConv1d(**kw, groups_impl="block_dense")
+    params = m_native.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(m_native.apply(params, x))
+    got = np.asarray(m_dense.apply(params, x))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
