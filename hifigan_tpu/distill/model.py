@@ -43,8 +43,13 @@ class DistillModels:
     """Host-side bundle: flax modules + initial params for every model."""
 
     def __init__(self, config: dict, example_labels: dict, label_weights: dict,
-                 sampling_rate: int | None = None):
+                 sampling_rate: int | None = None, compute_dtype=None):
         models_cfg = config["models"]
+        # mixed precision for every DSL model (config key models.compute_dtype
+        # or the ctor arg): conv stacks run in e.g. bf16, params/losses f32 —
+        # same contract as the vocoder's gen/disc_compute_dtype
+        compute_dtype = compute_dtype or models_cfg.get("compute_dtype")
+        self.compute_dtype = compute_dtype
         gen_layers = parse_layers(models_cfg["generator"]["layers"])
         self.generator_layers = gen_layers
         self.embedding_size = embedding_size_from_layers(gen_layers)
@@ -54,8 +59,8 @@ class DistillModels:
         gen_cfgs = get_generator_configs(
             gen_layers, expansion_size=expansion, embedding_size=self.embedding_size
         )
-        self.encoder = ConfigurableModule(config=gen_cfgs["encoder"])
-        self.decoder = ConfigurableModule(config=gen_cfgs["decoder"])
+        self.encoder = ConfigurableModule(config=gen_cfgs["encoder"], compute_dtype=compute_dtype)
+        self.decoder = ConfigurableModule(config=gen_cfgs["decoder"], compute_dtype=compute_dtype)
 
         disc_layers = parse_layers(models_cfg["discriminator"]["layers"])
         disc_cfg = get_discriminator_config(
@@ -64,9 +69,11 @@ class DistillModels:
             ensemble_size=models_cfg["discriminator"].get("ensemble", 3),
         )
         self.discriminator = ConfigurableModule(config=disc_cfg, update_spectral=True,
-                                                mel_sampling_rate_override=sampling_rate)
+                                                mel_sampling_rate_override=sampling_rate,
+                                                compute_dtype=compute_dtype)
         self.discriminator_eval = ConfigurableModule(config=disc_cfg, update_spectral=False,
-                                                     mel_sampling_rate_override=sampling_rate)
+                                                     mel_sampling_rate_override=sampling_rate,
+                                                     compute_dtype=compute_dtype)
 
         # classifiers operate on the split halves of the embedding
         half = self.embedding_channels // 2
@@ -86,9 +93,9 @@ class DistillModels:
             example_labels, layers=sniffer_layers,
             ensemble_size=models_cfg["sniffers"].get("ensemble", 3),
         )
-        self.keepers = {k: ConfigurableModule(config=c) for k, c in keeper_cfgs.items()}
-        self.hunters = {k: ConfigurableModule(config=c) for k, c in hunter_cfgs.items()}
-        self.sniffers = {k: ConfigurableModule(config=c) for k, c in sniffer_cfgs.items()}
+        self.keepers = {k: ConfigurableModule(config=c, compute_dtype=compute_dtype) for k, c in keeper_cfgs.items()}
+        self.hunters = {k: ConfigurableModule(config=c, compute_dtype=compute_dtype) for k, c in hunter_cfgs.items()}
+        self.sniffers = {k: ConfigurableModule(config=c, compute_dtype=compute_dtype) for k, c in sniffer_cfgs.items()}
 
         self.example_labels = example_labels
         self.label_weights = label_weights

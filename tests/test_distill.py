@@ -287,3 +287,33 @@ def test_distill_train_step(distill_setup):
     d_live = jax.tree_util.tree_leaves(state3.variables["discriminator"]["params"])[0]
     d_copy = jax.tree_util.tree_leaves(state3.disc_copy["params"])[0]
     np.testing.assert_allclose(np.asarray(d_live), np.asarray(d_copy))
+
+
+def test_distill_train_step_bf16_compute():
+    """models.compute_dtype='bfloat16': conv stacks run in bf16, params and
+    losses stay f32; losses track the f32 run to bf16 tolerance."""
+    config, labels, weights = tiny_distill_config()
+    config["models"]["compute_dtype"] = "bfloat16"
+    models = DistillModels(config, labels, weights, sampling_rate=config["sampling_rate"])
+    assert models.compute_dtype == "bfloat16"
+    trainer = DistillTrainer(models, config)
+    seg = config["loops"]["train"]["segment_length"]
+    state = trainer.create_state(jax.random.PRNGKey(0), seg)
+    for leaf in jax.tree_util.tree_leaves(state.variables):
+        assert leaf.dtype != jnp.bfloat16  # params stay f32 (ints allowed)
+    step = trainer.make_train_step(donate=False)
+    batch = _distill_batch(config, models)
+    state2, losses = step(state, batch, jax.random.PRNGKey(1))
+    total = float(losses["total"])
+    assert np.isfinite(total)
+    assert losses["total"].dtype == jnp.float32
+
+    # f32 reference run from identical init params
+    config32, _, _ = tiny_distill_config()
+    models32 = DistillModels(config32, labels, weights, sampling_rate=config32["sampling_rate"])
+    trainer32 = DistillTrainer(models32, config32)
+    state32 = trainer32.create_state(jax.random.PRNGKey(0), seg)
+    step32 = trainer32.make_train_step(donate=False)
+    _, losses32 = step32(state32, batch, jax.random.PRNGKey(1))
+    total32 = float(losses32["total"])
+    assert abs(total - total32) / max(abs(total32), 1e-6) < 0.1
