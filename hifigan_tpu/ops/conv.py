@@ -311,3 +311,107 @@ def conv1d_time_blocked(
     if bias is not None:
         y = y + bias
     return y
+
+
+def conv1d_grouped_blocked(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+    stride: int = 1,
+    padding: int = 0,
+    groups: int = 1,
+    block_out: int | None = None,
+    precision=None,
+) -> jax.Array:
+    """Grouped (optionally strided) conv computed in a time-blocked layout.
+
+    XLA's grouped-conv lowering starves the MXU when per-group features are
+    far below the 128 lanes (the MSD's g=16 k41 stacks run at a few % of
+    peak, docs/OPERATIONS.md). Folding ``block_out`` output samples into the
+    feature dim turns the conv into ANOTHER feature-grouped conv whose
+    per-group widths are ``b_in*cig`` in / ``block_out*cog`` out (chosen
+    ~128): full MXU tiles per group. Construction (b_in = block_out*stride;
+    rows n index b_in-sample input blocks == block_out-sample output blocks):
+
+        out[n*b_out + r, o] = sum_tau in[(n*b_out+r)*s + tau - p] @ W[tau]
+        e = r*s + tau - p;  q = e // b_in;  rho = e mod b_in
+        K[q][rho*cig + i, r*cog + o] += W[tau, i, o]   (per group)
+
+    FLOP overhead ~ nq*b_in/k (the block kernels contain zeros). Exact,
+    including zero boundary semantics, whenever T % b_in == 0 and the
+    conv's output length equals T // stride (true for the MSD's
+    'same'-family paddings).
+
+    MEASURED RESULT on v5e (don't redo): LOSES to the native grouped
+    lowering on every MSD layer (e.g. g=16 k41 512->1024: 1.89 ms blocked
+    fwd vs 1.45 native; only the g=4 layer improves, and the block-diagonal
+    dense form beats both there, models/layers.py groups_impl). The MSD
+    layers are per-op-overhead-bound, not lane-bound — the layout
+    transposes cost more than the lane win. Kept as a tested-exact
+    alternative for other hardware/shapes; NOT in the auto dispatch.
+    """
+    import numpy as np
+
+    k, cig, co = kernel.shape
+    g = groups
+    cog = co // g
+    b, t, ci = x.shape
+    assert ci == cig * g, "input features must be groups * per-group channels"
+    s = stride
+    if block_out is None:
+        block_out = max(1, 128 // cog)
+    b_out = block_out
+    b_in = b_out * s
+    assert t % b_in == 0, "time length must divide the input block factor"
+    rows = t // b_in
+    t_out = (t + 2 * padding - k) // s + 1
+    assert rows * b_out == t_out, (
+        "blocked grouped conv requires out_len == T // stride "
+        f"(got {t_out} vs {rows * b_out})"
+    )
+
+    tau = np.arange(k)[:, None]
+    r = np.arange(b_out)[None, :]
+    e = r * s + tau - padding  # (k, b_out) input-sample offset within block 0
+    q = e // b_in
+    rho = e % b_in
+    q_min, q_max = int(q.min()), int(q.max())
+    nq = q_max - q_min + 1
+
+    # scatter W into per-group block kernels (host-side indices, traced add)
+    kernel_g = kernel.reshape(k, cig, g, cog).transpose(0, 2, 1, 3)  # (k,g,cig,cog)
+    flat_idx = ((q - q_min) * (b_in * b_out) + rho * b_out + r).reshape(-1)
+    big = jnp.zeros((nq * b_in * b_out, g, cig, cog), kernel.dtype)
+    big = big.at[jnp.asarray(flat_idx)].add(
+        jnp.repeat(kernel_g, b_out, axis=0).reshape(k * b_out, g, cig, cog)
+    )
+    # -> (nq, b_in*cig, g*b_out*cog), output features ordered [g][r][o]
+    big = (
+        big.reshape(nq, b_in, b_out, g, cig, cog)
+        .transpose(0, 1, 4, 3, 2, 5)
+        .reshape(nq, b_in * cig, g * b_out * cog)
+    )
+
+    # input features ordered [g][rho][cig] per block row
+    x4 = (
+        x.reshape(b, rows, b_in, g, cig)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b, rows, g * b_in * cig)
+    )
+    y4 = jax.lax.conv_general_dilated(
+        x4,
+        big,
+        window_strides=(1,),
+        padding=((-q_min, q_max),),
+        feature_group_count=g,
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=precision,
+    )
+    y = (
+        y4.reshape(b, rows, g, b_out, cog)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b, t_out, co)
+    )
+    if bias is not None:
+        y = y + bias
+    return y

@@ -216,3 +216,23 @@ def test_grouped_conv_block_dense_exact():
     ref = np.asarray(m_native.apply(params, x))
     got = np.asarray(m_dense.apply(params, x))
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_grouped_conv_blocked_exact():
+    """conv1d_grouped_blocked matches the native grouped conv on the MSD
+    layer shapes (strided + grouped + non-square)."""
+    from hifigan_tpu.ops.conv import conv1d, conv1d_grouped_blocked
+
+    rng = np.random.default_rng(0)
+    for ci, co, k, s, g, p, t in [
+        (128, 128, 41, 2, 4, 20, 256),
+        (128, 256, 41, 2, 16, 20, 256),
+        (256, 512, 41, 4, 16, 20, 256),
+        (16, 32, 5, 2, 4, 2, 64),
+    ]:
+        x = jnp.asarray(rng.standard_normal((2, t, ci)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, ci // g, co)) * 0.05, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
+        ref = conv1d(x, w, bias, stride=s, padding=p, groups=g)
+        got = conv1d_grouped_blocked(x, w, bias, stride=s, padding=p, groups=g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
