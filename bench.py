@@ -25,6 +25,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: verified working through the axon tunnel
+# (V3 forward recompile 4.9 s -> 0.5 s on a warm cache)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from hifigan_tpu.config import get_config
 from hifigan_tpu.models import Generator, fold_weight_norm
 
