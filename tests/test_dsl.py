@@ -311,3 +311,50 @@ def test_sniffer_one_hot_false_ref_exact_variant():
     v = mod.init(jax.random.PRNGKey(0), labels)
     y = mod.apply(v, labels)
     assert set(y.keys()) == {"mean", "variance"}
+
+
+def test_ensemble_heterogeneous_unrolled():
+    """Ensembles with DIFFERENT member configs take the unrolled path and
+    still return mean/variance over members."""
+    cfg = ("ensemble", [
+        ("conv", (4, 4, 3, 1, 1, 1, 0.01)),
+        ("conv", (4, 4, 5, 1, 1, 1, 0.01)),  # different kernel size
+    ])
+    out, variables, _, _ = build(cfg, (2, 8, 4))
+    assert set(out.keys()) == {"mean", "variance"}
+    assert out["mean"].shape == (2, 8, 4)
+    # unrolled path: per-member param subtrees (no stacked _ens module)
+    names = " ".join(str(k) for k in variables["params"].keys())
+    assert "_e0" in names and "_e1" in names
+
+
+def test_ensemble_vmapped_matches_unrolled():
+    """The vmapped homogeneous path computes the same mean/variance as an
+    unrolled evaluation of the same stacked member params."""
+    member = ("conv", (4, 4, 3, 1, 1, 1, 0.01))
+    mod = ConfigurableModule(config=("ensemble", [member, member, member]))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 4)), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    out = mod.apply(variables, x)
+
+    # manual reference: apply the single-member module with each param slice
+    single = ConfigurableModule(config=member)
+    sx = single.init(jax.random.PRNGKey(1), x)
+    stacked = variables["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(stacked)
+    outs = []
+    for i in range(3):
+        member_params = jax.tree_util.tree_unflatten(treedef, [l[i] for l in leaves])
+        # re-key the stacked subtree to the single module's param structure
+        flat_single = jax.tree_util.tree_leaves(sx["params"])
+        flat_member = jax.tree_util.tree_leaves(member_params)
+        assert [l.shape for l in flat_member] == [l.shape for l in flat_single]
+        rebuilt = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(sx["params"]), flat_member
+        )
+        outs.append(np.asarray(single.apply({"params": rebuilt}, x)))
+    stacked_out = np.stack(outs, axis=0)
+    np.testing.assert_allclose(np.asarray(out["mean"]), stacked_out.mean(0), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["variance"]), stacked_out.var(0, ddof=1), atol=1e-5, rtol=1e-5
+    )
