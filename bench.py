@@ -30,7 +30,7 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from hifigan_tpu.config import get_config
+from hifigan_tpu.config import get_config, upsample_hop
 from hifigan_tpu.models import Generator, fold_weight_norm
 
 BASELINE_RTF = 167.9  # V100, reference README.md:17-18
@@ -105,9 +105,7 @@ def bench_b1_serving() -> None:
     float(acc)
     dt = (time.perf_counter() - t0) / iters
 
-    hop = 1
-    for u in h["upsample_rates"]:
-        hop *= u
+    hop = upsample_hop(h)
     rtf = frames * hop / h["sampling_rate"] / dt
     print(
         json.dumps(
@@ -151,9 +149,7 @@ def main() -> None:
     float(acc)
     dt = (time.perf_counter() - t0) / iters
 
-    hop = 1
-    for u in h["upsample_rates"]:
-        hop *= u
+    hop = upsample_hop(h)
     total_samples = batch * frames * hop
     audio_seconds = total_samples / sr
     rtf = audio_seconds / dt

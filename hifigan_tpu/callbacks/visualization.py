@@ -266,10 +266,17 @@ def parameter_snake_images(params) -> dict[str, np.ndarray]:
     return images
 
 
-def log_model_parameters(writer, variables, step: int) -> None:
+def log_model_parameters(writer, variables, step: int,
+                         max_leaf_histograms: int | None = 256) -> None:
     """Full reference parity (validation_visualization_callback.py:42-53):
     one all-params histogram per model, one histogram per parameter, and
-    snake weight-matrix images per model."""
+    snake weight-matrix images per model.
+
+    ``max_leaf_histograms`` bounds the per-parameter histogram count per
+    model (the device_get + add_histogram of every leaf at production scale
+    — 26.4M params over ~15 models — stalls a 1-core host for minutes per
+    validation); the per-model all-params histogram and snake images are
+    always emitted. Pass None for strict unbounded reference parity."""
     from hifigan_tpu.utils.plotting import plot_image
 
     import jax
@@ -286,7 +293,8 @@ def log_model_parameters(writer, variables, step: int) -> None:
             np.concatenate([l.reshape(-1) for _, l in leaves]),
             step,
         )
-        for keys, leaf in leaves:
+        capped = leaves if max_leaf_histograms is None else leaves[:max_leaf_histograms]
+        for keys, leaf in capped:
             writer.add_histogram(rank(f"models/{name}/{keys}"), leaf.reshape(-1), step)
         for snake_name, img in parameter_snake_images(params).items():
             writer.add_figure(rank(f"models/{name}/{snake_name}"), plot_image(img), step)

@@ -18,7 +18,7 @@ import numpy as np
 
 from hifigan_tpu.audio import MAX_WAV_VALUE, load_wav, save_wav
 from hifigan_tpu.audio.mel import MelConfig, log_mel_spectrogram
-from hifigan_tpu.config import AttrDict
+from hifigan_tpu.config import AttrDict, upsample_hop
 from hifigan_tpu.models import Generator, fold_weight_norm
 from hifigan_tpu.train.checkpoint import convert_torch_generator, load_checkpoint
 
@@ -62,9 +62,7 @@ def synthesize(a, h, apply, params, x):
     if chunk > 0:
         from hifigan_tpu.parallel.halo import generator_halo_frames, streaming_vocode
 
-        hop = 1
-        for u in h["upsample_rates"]:
-            hop *= u
+        hop = upsample_hop(h)
         halo = generator_halo_frames(h)
         return streaming_vocode(apply, params, x, chunk, halo, hop)
     return np.asarray(apply(params, x))

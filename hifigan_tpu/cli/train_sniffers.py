@@ -24,9 +24,8 @@ import os
 from typing import Any
 
 import jax
-import numpy as np
-from flax import serialization
 
+from hifigan_tpu.distill.main import load_distill_state, save_distill_state
 from hifigan_tpu.callbacks import (
     BestCheckpointCallback,
     ContinuousCheckpointCallback,
@@ -74,16 +73,6 @@ def build_sniffer_datasets(config: dict, datasets_dir: str, embedding_size: int)
     }
 
 
-def _save_sniffer_state(path: str, state: Any) -> None:
-    data = serialization.msgpack_serialize(
-        jax.tree_util.tree_map(np.asarray, serialization.to_state_dict(state))
-    )
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)
-
-
 def _summarize(key: str, variables: Any) -> str:
     from hifigan_tpu.distill.main import summarize_params
 
@@ -115,11 +104,12 @@ def train_sniffers(
 
     interval = max(1, int(1000 / batch_size))  # ref accumulated_grad/intervals
     final_states: dict[str, Any] = {}
+    # one dataset materialisation serves every sniffer's shape example
+    example_batch = next(datasets["train"].batches(batch_size))
     for key, sniffer in sniffers.items():
         if keys is not None and key not in keys:
             continue
         trainer = LabelBiasSnifferTrainer(sniffer, key)
-        example_batch = next(datasets["train"].batches(batch_size))
         state = trainer.create_state(
             jax.random.PRNGKey(1234), example_batch["time_labels"][key]
         )
@@ -143,11 +133,8 @@ def train_sniffers(
                 ),
             ],
             writer=writer,
-            save_state=_save_sniffer_state,
-            load_state=lambda path, template: serialization.from_state_dict(
-                template,
-                serialization.msgpack_restore(open(path, "rb").read()),
-            ),
+            save_state=save_distill_state,
+            load_state=load_distill_state,
         )
         eval_step = trainer.make_eval_step()
 

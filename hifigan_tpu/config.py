@@ -32,6 +32,14 @@ class AttrDict(dict):
             raise AttributeError(name) from e
 
 
+def upsample_hop(h) -> int:
+    """Total upsampling factor of a generator config (samples per mel
+    frame): prod(upsample_rates)."""
+    import math
+
+    return int(math.prod(h["upsample_rates"]))
+
+
 def load_config(path: str) -> AttrDict:
     with open(path, "r", encoding="utf-8") as f:
         return AttrDict(json.load(f))

@@ -115,12 +115,14 @@ class ConfigurableModule(nn.Module):
         cd = self.compute_dtype
         if cd is not None:
             cd = jnp.dtype(cd) if isinstance(cd, str) else cd
-            args = tuple(
+            to_cd = lambda a: (
                 a.astype(cd)
                 if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
                 else a
-                for a in args
             )
+            # tree-map so pytree inputs (e.g. a sniffer's {label: preds}
+            # dict) are cast too, mirroring the output-side cast
+            args = tuple(jax.tree_util.tree_map(to_cd, a) for a in args)
         y, feats = self._eval(self.config, args, "m")
         if cd is not None:
             to_f32 = lambda a: (

@@ -315,13 +315,21 @@ def _fold_tree(tree: Any, is_transposed, path: tuple[str, ...] = ()) -> Any:
         if "v" in keys and "g" in keys:
             v, g = tree["v"], tree["g"]
             # Transposed-conv kernels normalise per input channel (axis 1);
-            # forward convs per output channel (last axis). The module path
-            # decides; a shape check (unambiguous when I != O) is the
-            # fallback for unconventional names.
-            transposed = v.ndim == 3 and (
-                is_transposed(path)
-                or (v.shape[1] == g.shape[0] and v.shape[2] != g.shape[0])
-            )
+            # forward convs per output channel (last axis). Shape evidence
+            # is decisive when unambiguous (I != O); the module-path marker
+            # (`ups_<i>` / `trans`) only breaks the square I == O tie, so a
+            # forward conv that merely has 'trans' in its name cannot be
+            # folded on the wrong axes.
+            if v.ndim == 3:
+                n_g = g.shape[0] if getattr(g, "ndim", 0) else g.size
+                shape_trans = v.shape[1] == n_g and v.shape[2] != n_g
+                shape_fwd = v.shape[2] == n_g and v.shape[1] != n_g
+                if shape_trans or shape_fwd:
+                    transposed = shape_trans
+                else:
+                    transposed = is_transposed(path)
+            else:
+                transposed = False
             if transposed:
                 axes: tuple[int, ...] = (0, 2)
             elif v.ndim == 4:
