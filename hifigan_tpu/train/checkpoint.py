@@ -292,3 +292,77 @@ def convert_torch_discriminators(do_ckpt: dict) -> dict:
         if extra in do_ckpt:
             out[extra] = do_ckpt[extra]
     return out
+
+
+def _l2n(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
+    return x / (np.linalg.norm(x) + eps)
+
+
+def export_torch_discriminators(mpd_vars: dict, msd_vars: dict,
+                                steps: int = 0, epoch: int = 0) -> dict:
+    """{'mpd','msd'} variables -> a reference-layout ``do_*`` dict (flat
+    torch keys per stack), the inverse of :func:`convert_torch_discriminators`.
+
+    Weight-normed convs emit ``weight_v``/``weight_g`` (torch dim=0 shapes);
+    spectral-normed convs (MSD scale 0) emit ``weight_orig``/``weight_u``
+    and a ``weight_v`` power-iteration buffer synthesised as
+    l2norm(W_matᵀ u) — torch recomputes it every forward, only the key must
+    exist for a strict ``load_state_dict``. Optimizer state is NOT emitted:
+    the reference's train.py (which defined torch Adam's parameter ordering)
+    is deleted upstream, so no canonical ``optim_g``/``optim_d`` layout
+    exists to target (SURVEY §2.1).
+    """
+
+    def emit_stack(variables: dict) -> dict:
+        params = variables["params"]
+        spectral = variables.get("spectral", {})
+        out: dict[str, np.ndarray] = {}
+        for disc_name, mods in params.items():
+            i = disc_name.split("_")[-1]
+            for mod_name, leaf in mods.items():
+                conv_j = mod_name.split("_")[-1] if mod_name.startswith("convs_") else None
+                tk = (
+                    f"discriminators.{i}.convs.{conv_j}"
+                    if conv_j is not None
+                    else f"discriminators.{i}.conv_post"
+                )
+                kern = np.asarray(leaf.get("v", leaf.get("kernel")))
+                tr = (2, 1, 0) if kern.ndim == 3 else (3, 2, 0, 1)  # ->(O,I,K*)
+                u = spectral.get(disc_name, {}).get(mod_name, {}).get("u")
+                if "v" in leaf and "g" in leaf:
+                    out[f"{tk}.weight_v"] = np.transpose(kern, tr)
+                    out[f"{tk}.weight_g"] = np.asarray(leaf["g"]).reshape(
+                        (-1,) + (1,) * (kern.ndim - 1)
+                    )
+                elif u is not None:
+                    w_t = np.transpose(kern, tr)
+                    out[f"{tk}.weight_orig"] = w_t
+                    u = np.asarray(u).reshape(-1)
+                    w_mat = w_t.reshape(w_t.shape[0], -1)
+                    out[f"{tk}.weight_u"] = u
+                    out[f"{tk}.weight_v"] = _l2n(w_mat.T @ u)
+                else:
+                    out[f"{tk}.weight"] = np.transpose(kern, tr)
+                if "bias" in leaf:
+                    out[f"{tk}.bias"] = np.asarray(leaf["bias"])
+        return out
+
+    return {
+        "mpd": emit_stack(mpd_vars),
+        "msd": emit_stack(msd_vars),
+        "steps": int(steps),
+        "epoch": int(epoch),
+    }
+
+
+def save_torch_discriminators(filepath: str, mpd_vars: dict, msd_vars: dict,
+                              steps: int = 0, epoch: int = 0) -> None:
+    """Write a reference-compatible ``do_*`` checkpoint (torch.save zip)."""
+    import torch
+
+    do = export_torch_discriminators(mpd_vars, msd_vars, steps=steps, epoch=epoch)
+    for name in ("mpd", "msd"):
+        do[name] = {
+            k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in do[name].items()
+        }
+    torch.save(do, filepath)

@@ -116,3 +116,66 @@ def test_save_torch_generator_runs_in_reference(reference_src, tmp_path, folded,
     with torch.no_grad():
         ref_wav = ref(torch.from_numpy(mel)).numpy()
     np.testing.assert_allclose(ours, ref_wav, atol=2e-4, rtol=1e-4)
+
+
+@requires_reference
+def test_save_torch_discriminators_runs_in_reference(reference_src, tmp_path, rng):
+    """Full D interchange: our MPD/MSD variables -> torch do_* file ->
+    reference discriminators (strict load) produce matching logits.
+    Completes the round-trip matrix (G import/export + D import/export)."""
+    import torch
+
+    import models as ref_models
+
+    import jax.numpy as jnp
+
+    from hifigan_tpu.models import MultiPeriodDiscriminator, MultiScaleDiscriminator
+    from hifigan_tpu.train.checkpoint import save_torch_discriminators
+
+    y = rng.standard_normal((1, 4096)).astype(np.float32) * 0.3
+    y_hat = rng.standard_normal((1, 4096)).astype(np.float32) * 0.3
+
+    mpd = MultiPeriodDiscriminator()
+    msd = MultiScaleDiscriminator()
+    vmpd = mpd.init(jax.random.PRNGKey(0), jnp.asarray(y), jnp.asarray(y_hat))
+    vmsd = msd.init(jax.random.PRNGKey(1), jnp.asarray(y), jnp.asarray(y_hat))
+
+    (rf, _, _, _), _ = mpd.apply(
+        {"params": vmpd["params"]}, jnp.asarray(y), jnp.asarray(y_hat), True,
+        mutable=["spectral"],
+    )
+    (rs, _, _, _), _ = msd.apply(
+        {"params": vmsd["params"], "spectral": vmsd["spectral"]},
+        jnp.asarray(y), jnp.asarray(y_hat), True, mutable=["spectral"],
+    )
+
+    path = str(tmp_path / "do_00000001")
+    save_torch_discriminators(
+        path,
+        {"params": vmpd["params"]},
+        {"params": vmsd["params"], "spectral": vmsd["spectral"]},
+        steps=7,
+        epoch=1,
+    )
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    assert ckpt["steps"] == 7 and ckpt["epoch"] == 1
+    ref_mpd = ref_models.MultiPeriodDiscriminator()
+    ref_mpd.load_state_dict(ckpt["mpd"], strict=True)
+    ref_msd = ref_models.MultiScaleDiscriminator()
+    ref_msd.load_state_dict(ckpt["msd"], strict=True)
+    ty, tyh = torch.from_numpy(y[:, None]), torch.from_numpy(y_hat[:, None])
+    ref_mpd.train()
+    ref_msd.train()
+    with torch.no_grad():
+        rf_ref, _, _, _ = ref_mpd(ty, tyh)
+        rs_ref, _, _, _ = ref_msd(ty, tyh)
+
+    for a, b in zip(rf, rf_ref):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=2e-4, rtol=1e-3)
+    # MSD scale 0 is spectral-normed: torch runs its power iteration twice
+    # (once per input) vs our once per call -> loose tolerance, like
+    # test_msd_parity; scales 1-2 (weight norm) agree tightly.
+    for i, (a, b) in enumerate(zip(rs, rs_ref)):
+        tol = 5e-2 if i == 0 else 2e-4
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=tol, rtol=1e-2)
