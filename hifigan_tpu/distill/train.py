@@ -402,7 +402,14 @@ class DistillTrainer:
 
     # ------------------------------------------------------------------
 
-    def make_train_step(self, mesh: Mesh | None = None, donate: bool = True):
+    def make_train_step(self, mesh: Mesh | None = None, donate: bool | None = None):
+        # donate=None: True on real hardware, False under the axon dev
+        # tunnel where donated steps dispatch ~45x slower and donated
+        # outputs can't be fetched (docs/OPERATIONS.md)
+        if donate is None:
+            import os
+
+            donate = not os.environ.get("PALLAS_AXON_POOL_IPS")
         group_keys = list(self.flat_groups.keys())
         txs = {g: make_optimizer(self.flat_groups[g], self.b1, self.b2) for g in group_keys}
 

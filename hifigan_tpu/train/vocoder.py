@@ -132,7 +132,7 @@ def _gen_apply(h, params_g, mel):
     return wav[:, 0, :]  # (B, T)
 
 
-def make_train_step(h, mesh: Mesh | None = None, donate: bool = True,
+def make_train_step(h, mesh: Mesh | None = None, donate: bool | None = None,
                     state_shardings=None):
     """Build the jitted train step: (state, batch) -> (state, metrics).
 
@@ -140,7 +140,16 @@ def make_train_step(h, mesh: Mesh | None = None, donate: bool = True,
     'mel' is absent (normal training) it is computed on device; when present
     (fine-tuning on teacher-forced mels, reference src/meldataset.py:155-172)
     it is used as the generator input.
+
+    ``donate=None`` resolves to True (right on real hardware: the state
+    updates in place) EXCEPT under the axon dev tunnel
+    (PALLAS_AXON_POOL_IPS set), where donated-state steps dispatch ~45x
+    slower and donated outputs can't be fetched (docs/OPERATIONS.md).
     """
+    if donate is None:
+        import os
+
+        donate = not os.environ.get("PALLAS_AXON_POOL_IPS")
     mel_cfg = MelConfig.from_hparams(h)
     mel_loss_cfg = MelConfig.from_hparams(h, fmax_key="fmax_for_loss")
     mpd, msd = build_discriminators(h)
