@@ -97,6 +97,16 @@ class ConfigurableModule(nn.Module):
     # outputs back to f32 at exit — the same contract as the vocoder's
     # gen/disc_compute_dtype (train/vocoder.py). ~2x MXU throughput on TPU.
     compute_dtype: Any = None
+    # Homogeneous-ensemble evaluation. 'vmap' (default) traces the member
+    # body once — N x smaller HLO, required for the production distill step
+    # to fit the remote compile helper. 'unroll' inlines members. MEASURED
+    # (v5e, don't redo): an ISOLATED vmapped disc fwd is 2.4x slower than
+    # the unrolled sum (batch-group conv lowering: 15.3 ms vs 3 x 2.16 ms),
+    # but inside the FULL distill step unrolling the disc measures WORSE
+    # (141.4 vs 136.8 ms, compile 554 s vs 214 s) — XLA schedules the
+    # whole-graph vmapped form better. Keep 'vmap' unless a new measurement
+    # says otherwise.
+    ensemble_impl: str = "vmap"
     # Internal (vmapped-ensemble support): also return the tagged-feature
     # side channel as a {"{i}|{tags!r}": value} dict so it can cross an
     # nn.vmap boundary (string tags live in the treedef, values are arrays).
@@ -482,7 +492,11 @@ class ConfigurableModule(nn.Module):
             # production-scale distill step is tens of MLIR megabytes
             # unrolled). Members still get independent param init
             # (split_rngs), preserving ensemble variance semantics.
-            if len(subs) > 1 and all(s == subs[0] for s in subs[1:]):
+            if (
+                self.ensemble_impl == "vmap"
+                and len(subs) > 1
+                and all(s == subs[0] for s in subs[1:])
+            ):
                 return self._ensemble_vmapped(subs[0], len(subs), args, path)
             results = []
             for i, sub in enumerate(subs):
