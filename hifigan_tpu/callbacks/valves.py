@@ -60,7 +60,10 @@ class ValveDecayCallback(Callback):
             if "valves" in keys:
                 for tag, value in ratios.items():
                     if f"__{tag}" in joined or f"+{tag}" in joined:
-                        return jnp.asarray(value, leaf.dtype)
+                        # preserve the leaf's shape: vmapped ensembles may
+                        # stack valve ratios to (n,), and replacing with a
+                        # 0-d scalar would break the next vmapped unstack
+                        return jnp.full(leaf.shape, value, leaf.dtype)
             return leaf
 
         return jax.tree_util.tree_map_with_path(rewrite, variables)

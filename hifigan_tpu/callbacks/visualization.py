@@ -268,15 +268,19 @@ def parameter_snake_images(params) -> dict[str, np.ndarray]:
 
 def log_model_parameters(writer, variables, step: int,
                          max_leaf_histograms: int | None = 256) -> None:
-    """Full reference parity (validation_visualization_callback.py:42-53):
-    one all-params histogram per model, one histogram per parameter, and
-    snake weight-matrix images per model.
+    """Reference-shaped parameter logging
+    (validation_visualization_callback.py:42-53): one all-params histogram
+    per model, per-parameter histograms, and snake weight-matrix images per
+    model.
 
     ``max_leaf_histograms`` bounds the per-parameter histogram count per
     model (the device_get + add_histogram of every leaf at production scale
     — 26.4M params over ~15 models — stalls a 1-core host for minutes per
-    validation); the per-model all-params histogram and snake images are
-    always emitted. Pass None for strict unbounded reference parity."""
+    validation), so the default is NOT strict reference parity: leaves past
+    the cap (tree order) are dropped, and a
+    ``models/{name}/histograms_dropped`` scalar records how many. The
+    per-model all-params histogram and snake images are always emitted.
+    Pass None for strict unbounded reference parity."""
     from hifigan_tpu.utils.plotting import plot_image
 
     import jax
@@ -294,6 +298,10 @@ def log_model_parameters(writer, variables, step: int,
             step,
         )
         capped = leaves if max_leaf_histograms is None else leaves[:max_leaf_histograms]
+        if len(capped) < len(leaves):
+            writer.add_scalar(
+                rank(f"models/{name}/histograms_dropped"), len(leaves) - len(capped), step
+            )
         for keys, leaf in capped:
             writer.add_histogram(rank(f"models/{name}/{keys}"), leaf.reshape(-1), step)
         for snake_name, img in parameter_snake_images(params).items():

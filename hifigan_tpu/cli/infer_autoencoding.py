@@ -55,10 +55,16 @@ def main() -> None:
     if os.path.exists(ckpt):
         with open(ckpt, "rb") as f:
             restored = serialization.msgpack_restore(f.read())
+        from hifigan_tpu.utils.pytree import restack_legacy_ensembles
+
         variables = dict(state.variables)
         for key in ("encoder", "decoder"):
             variables[key] = serialization.from_state_dict(
-                state.variables[key], restored["variables"][key]
+                state.variables[key],
+                restack_legacy_ensembles(
+                    restored["variables"][key],
+                    serialization.to_state_dict(state.variables[key]),
+                ),
             )
         state = state.replace(variables=variables)
         print(f"Loaded {ckpt} (encoder/decoder restored, step {restored.get('step')})")

@@ -161,7 +161,11 @@ def train_sniffers(
 def main() -> None:
     print("Initializing Training Process...")
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", required=True)
+    parser.add_argument(
+        "--config",
+        default=str(__import__("pathlib").Path(__file__).resolve().parents[2] / "configs" / "distill.json"),
+        help="distillation config (default: the shipped production configs/distill.json)",
+    )
     parser.add_argument("--datasets_dir", default="/datasets")
     parser.add_argument("--logs_base", default="logs")
     parser.add_argument("--max_steps", default=1_000_000, type=int)

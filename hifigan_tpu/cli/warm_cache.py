@@ -28,7 +28,11 @@ def warm_label_caches(ds, workers: int | None = None) -> None:
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", required=True)
+    parser.add_argument(
+        "--config",
+        default=str(__import__("pathlib").Path(__file__).resolve().parents[2] / "configs" / "distill.json"),
+        help="distillation config (default: the shipped production configs/distill.json)",
+    )
     parser.add_argument("--datasets_dir", default="/datasets")
     parser.add_argument("--workers", default=None, type=int)
     parser.add_argument("--iterate", default=5, type=int, help="items to smoke-test per loop")

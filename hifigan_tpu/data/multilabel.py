@@ -1,25 +1,31 @@
-"""Multi-label waveform dataset (host-side engine feeding the distill trainer).
+"""Multi-label waveform data engine (host side of the distillation trainer).
 
 Capability parity with reference
-speech_distillation/multilabel_wave_dataset.py — yields
-``(wav, wav_path, time_labels, grouped_labels)`` with:
+``speech_distillation/multilabel_wave_dataset.py`` (items carry a waveform,
+its source path, per-frame label-id tensors on the embedding grid, and the
+per-utterance label values), re-designed for this framework:
 
-- declarative corpus assembly via data configs (complex_parser), pickle-
-  cached (files_with_labels.pickle)
-- label taxonomy: content = speaker/sex/phones/sad, style = mic-brand +
-  7 augmentation labels (ref :33-40)
-- per-utterance label tensors segmented on the embedding grid from
-  TextGrid alignments; SAD (speech-activity) derived from word alignments
-  (ref :313-325); pickle label cache per item
-- class-frequency -> loss-weight computation incl. augmentation priors
-  (ref :83-129, :172-219)
-- corrupt-row quarantine (rows_to_remove.pickle, ref :73-79,:178-186)
-- golden-ratio subsampling for deterministic validation subsets (ref :257)
-- random cropping aligned to the embedding grid (ref :432-476)
-- probability-tree augmentation application (ref :478-517)
-- ``disable_wavs`` fake mode (zero waveforms; label/classifier paths only)
+- A :class:`CorpusIndex` owns corpus assembly (declarative data configs via
+  ``complex_parser``), the pickle-cached index table, the corrupt-row
+  quarantine, and label statistics. The dataset itself only crops, augments
+  and batches.
+- Frame labels are plain numpy string arrays rasterised from TextGrid
+  intervals with slice assignment — no pandas in the per-item path (the
+  TPU consumes stacked numpy host batches; pandas remains only in the
+  corpus table inherited from ``complex_parser``).
+- Everything heavy is cached: the corpus table (``corpus_index.pickle``),
+  label statistics (``label_stats.pickle``), per-item frame labels
+  (``frame_labels/<i>.pickle``), and the quarantine list
+  (``quarantine.pickle``) — warm them ahead of training with
+  ``cli/warm_cache.py``.
 
-numpy end to end (the TPU consumes stacked host batches; no torch).
+Behavioral contract mirrored from the reference (same math, own shape):
+taxonomy (content = speaker/sex/phones/sad; style = mic-brand + the seven
+augmentation labels, ref :33-40), speech-activity tiers derived from word
+alignments (ref :313-325), presence/absence label ratios (ref :172-219),
+golden-ratio deterministic subsampling (ref :257), embedding-grid-aligned
+random crops (ref :432-476), probability-tree augmentation (ref :478-517),
+and the zero-waveform ``disable_wavs`` mode for label-only training.
 """
 
 from __future__ import annotations
@@ -28,7 +34,6 @@ import json
 import math
 import os
 import random
-from collections import OrderedDict
 from pathlib import Path
 
 import numpy as np
@@ -48,501 +53,491 @@ from hifigan_tpu.data.complex_parser import get_path_by_glob, parse_complex_data
 from hifigan_tpu.data.textgrid import parse_textgrid
 from hifigan_tpu.utils.caching import create_pickle_cache, do_with_pickle_cache
 
-PHI = (1 + math.sqrt(5)) / 2
+# golden ratio: deterministic low-discrepancy subsampling stride
+_GOLDEN = (1 + math.sqrt(5)) / 2
 
-labels_to_use = ["speaker", "sex", "mic-brand"]
-sad_based_labels = ["sex", "speaker"]
-timed_labels_to_use = ["phones", "sex", "speaker", "sad"]
+# ---------------------------------------------------------------------------
+# label taxonomy
+# ---------------------------------------------------------------------------
 
-label_groups = {
-    "content": ["speaker", "sex", "phones", "sad"],
-    "style": ["mic-brand"],
+# labels read straight off the corpus table (one value per utterance)
+UTTERANCE_LABELS = ("speaker", "sex", "mic-brand")
+# labels carried as per-frame tensors on the embedding grid
+FRAME_LABELS = ("phones", "sex", "speaker", "sad")
+# utterance labels that are gated by speech activity (silence -> 'silence')
+ACTIVITY_GATED = ("sex", "speaker")
+
+TAXONOMY = {
+    "content": ("speaker", "sex", "phones", "sad"),
+    "style": ("mic-brand",),
 }
-augmentation_label_groups = {
-    "content": [],
-    "style": ["noise", "rir", "lowpass", "highpass", "reverb", "codec", "hilbert"],
+AUGMENTATION_TAXONOMY = {
+    "content": (),
+    "style": ("noise", "rir", "lowpass", "highpass", "reverb", "codec", "hilbert"),
 }
+
+
+def _none_first(ratios: dict, none_default: float) -> dict:
+    """Order a {option: ratio} dict with 'none' pinned to slot 0 and the
+    rest by descending ratio — option order IS the class-id assignment."""
+    ratios = dict(ratios)
+    ratios.setdefault("none", none_default)
+    rest = sorted((k for k in ratios if k != "none"), key=lambda k: -ratios[k])
+    return {k: ratios[k] for k in ("none", *rest)}
+
+
+# ---------------------------------------------------------------------------
+# corpus index
+# ---------------------------------------------------------------------------
+
+
+class CorpusIndex:
+    """Corpus table + label statistics for one source split.
+
+    The table is a pandas frame with one row per utterance (columns at
+    least: wav glob, textgrid glob, and the utterance labels), assembled
+    from every ``**/data_configs/<source>/*.json`` declarative config under
+    ``data_dir`` and pickle-cached. Rows whose alignments fail to parse are
+    quarantined (``quarantine.pickle``) and dropped on the next start."""
+
+    def __init__(self, data_dir: str, cache_dir: str, source: str):
+        self.data_dir = data_dir
+        self.source = source
+        self.cache_root = Path(cache_dir) / source
+        (self.cache_root / "frame_labels").mkdir(parents=True, exist_ok=True)
+
+        quarantined = do_with_pickle_cache(lambda: [], str(self.quarantine_path))
+        self.table = do_with_pickle_cache(
+            self._assemble_table, str(self.cache_root / "corpus_index.pickle")
+        )
+        self.drop_rows(quarantined)
+
+    # -- assembly ------------------------------------------------------
+
+    @property
+    def quarantine_path(self) -> Path:
+        return self.cache_root / "quarantine.pickle"
+
+    def _assemble_table(self) -> pd.DataFrame:
+        frames = []
+        root = Path(self.data_dir)
+        pattern = f"**/data_configs/{self.source}/*.json"
+        for corpus_dir in sorted(root.glob("*/")):
+            for spec_path in sorted(corpus_dir.glob(pattern)):
+                try:
+                    spec = json.loads(spec_path.read_text())
+                    print(f"corpus [{spec['name']}]: scanning...")
+                    frames.append(
+                        parse_complex_data(corpus_dir, root, spec["config"], spec["result"])
+                    )
+                    print(f"corpus [{spec['name']}]: {len(frames[-1])} rows")
+                except Exception as err:  # noqa: BLE001 — skip broken specs
+                    print(f"corpus spec {spec_path} skipped: {err}")
+        if not frames:
+            return None
+        return pd.concat(frames, axis=0, ignore_index=True)
+
+    def drop_rows(self, row_ids) -> None:
+        if len(row_ids):
+            self.table = self.table.drop(row_ids).reset_index(drop=True)
+
+    def __len__(self) -> int:
+        return len(self.table)
+
+    # -- per-row raw accessors ------------------------------------------
+
+    def utterance_labels(self, row: int) -> pd.Series:
+        return self.table.iloc[row][list(UTTERANCE_LABELS)]
+
+    def interval_tiers(self, row: int) -> dict[str, pd.DataFrame]:
+        """TextGrid tiers for a row, extended with the derived tiers:
+        'sad' (speech-activity from the word tier) and activity-gated
+        copies of the utterance labels (ref :313-325)."""
+        tiers = parse_textgrid(self.data_dir, self.table.iloc[row]["textgrid"])
+        words = tiers["words"]
+        activity = words.copy()
+        activity["text"] = np.where(words["text"].to_numpy() == "", "silence", "speech")
+        tiers["sad"] = activity
+        utt = self.utterance_labels(row)
+        for name in ACTIVITY_GATED:
+            gated = activity.copy()
+            gated["text"] = np.where(
+                activity["text"].to_numpy() == "silence", "silence", utt[name]
+            )
+            tiers[name] = gated
+        return {name: tiers[name] for name in FRAME_LABELS if name in tiers}
+
+    # -- label statistics -------------------------------------------------
+
+    def label_ratios(self, scan_rows, workers: int | None = None) -> dict:
+        """{label: {'true': {option: ratio}, 'false': {...}}} with 'none'
+        first — cached as label_stats.pickle. ``scan_rows`` maps a scan
+        position to a table row (the golden-ratio subsample when a size cap
+        is active)."""
+        return do_with_pickle_cache(
+            lambda: self._scan_label_ratios(scan_rows, workers),
+            str(self.cache_root / "label_stats.pickle"),
+        )
+
+    def _scan_label_ratios(self, scan_rows, workers: int | None) -> dict:
+        import multiprocessing
+
+        indices = list(scan_rows)
+        workers = workers or min(16, multiprocessing.cpu_count())
+        if workers > 1:
+            with multiprocessing.Pool(workers) as pool:
+                scans = pool.map(self._try_tier_durations, indices)
+        else:
+            scans = [self._try_tier_durations(i) for i in indices]
+
+        # quarantine rows whose alignments failed; survivors drive the stats
+        bad = [row for row, d in zip(indices, scans) if d is None]
+        good = [d for d in scans if d is not None]
+        create_pickle_cache(lambda: bad, str(self.quarantine_path))
+        self.drop_rows(bad)
+        if not good:
+            raise RuntimeError(
+                f"corpus [{self.source}]: label scan left no usable rows"
+            )
+
+        stats: dict = {}
+        # utterance labels: plain class frequencies over the table
+        n_rows = len(self.table)
+        for name in UTTERANCE_LABELS:
+            counts = self.table[name].value_counts()
+            stats[name] = {
+                "true": {k: v / n_rows for k, v in counts.items()},
+                "false": {k: (n_rows - v) / n_rows for k, v in counts.items()},
+            }
+        # frame labels: presence/absence rates over scanned items — an
+        # option is 'present' in an item when it covers any time at all,
+        # 'absent-somewhere' when it does not cover the item entirely
+        n_items = len(good)
+        for name in FRAME_LABELS:
+            present: dict = {}
+            not_everywhere: dict = {}
+            for durations in good:
+                total = sum(durations[name].values())
+                for option, covered in durations[name].items():
+                    present[option] = present.get(option, 0) + (covered > 0)
+                    not_everywhere.setdefault(option, 0)
+            for option in not_everywhere:
+                full_cover = sum(
+                    1
+                    for durations in good
+                    if durations[name].get(option, 0.0)
+                    >= sum(durations[name].values())
+                )
+                not_everywhere[option] = n_items - full_cover
+            stats[name] = {
+                "true": {k: v / n_items for k, v in present.items()},
+                "false": {k: v / n_items for k, v in not_everywhere.items()},
+            }
+        return {
+            name: {
+                "true": _none_first(value["true"], none_default=0.0),
+                "false": _none_first(value["false"], none_default=1.0),
+            }
+            for name, value in stats.items()
+        }
+
+    def _try_tier_durations(self, row: int):
+        """Per-option covered duration for every frame-label tier of one
+        row, or None when the row's alignments are corrupt."""
+        try:
+            durations = {}
+            for name, tier in self.interval_tiers(row).items():
+                spans = (tier["end"] - tier["start"]).to_numpy()
+                per_option: dict = {}
+                for option, span in zip(tier["text"], spans):
+                    per_option[option] = per_option.get(option, 0.0) + float(span)
+                durations[name] = per_option
+            return durations
+        except Exception as err:  # noqa: BLE001 — quarantine, don't crash
+            print(f"corpus [{self.source}] row {row} quarantined: {err}")
+            return None
+
+
+# ---------------------------------------------------------------------------
+# dataset
+# ---------------------------------------------------------------------------
 
 
 class MultilabelWaveDataset:
+    """Items: ``(wav, wav_path, frame_labels, utterance_labels)`` where
+    ``frame_labels`` is ``{group: {label: (T_emb,) int64}}`` on the
+    embedding grid and ``utterance_labels`` is ``{group: {label: value}}``.
+    """
+
     def __init__(self, data_dir, aug_dir, cache_dir, name, source, segment_length,
                  sampling_rate, embedding_size, augmentation_config=None,
                  disable_wavs=False, split=True, size=None, fine_tuning=False,
                  deterministic=False, num_workers: int | None = None):
         self.data_dir = data_dir
         self.aug_dir = aug_dir
-        self.cache_dir = cache_dir
         self.name = name
-        self.source = source
         self.segment_length = segment_length
         self.embedding_size = embedding_size
         self.sampling_rate = sampling_rate
         self.split = split
         self.fine_tuning = fine_tuning
-        self.size = size
         self.deterministic = deterministic
         self.disable_wavs = disable_wavs
-        self.num_workers = num_workers
         self.should_augment = augmentation_config is not None
+
+        print(f"dataset [{name}]: building index")
+        self.index = CorpusIndex(data_dir, cache_dir, source)
+        self.size = len(self.index) if size is None else size
+        self._frame_label_dir = self.index.cache_root / "frame_labels"
+
+        stats = self.index.label_ratios(
+            (self._scan_row(i) for i in range(len(self))), workers=num_workers
+        )
         if self.should_augment:
             self.aug_options = augmentation_config["options"]
             self.aug_probs = augmentation_config["probs"]
+            stats = {**stats, **self._augmentation_ratios()}
+        self._publish_label_tables(stats)
 
-        print(f"Creating [{self.name}] dataset:")
-        Path(cache_dir, source, "labels_cache").mkdir(parents=True, exist_ok=True)
-        config_path = f"**/data_configs/{source}/*.json"
-
-        rows_to_remove_path = os.path.join(cache_dir, source, "rows_to_remove.pickle")
-        rows_to_remove = do_with_pickle_cache(lambda: [], rows_to_remove_path)
-
-        self.files_with_labels = do_with_pickle_cache(
-            lambda: self.get_files_with_labels(self.data_dir, config_path),
-            os.path.join(cache_dir, source, "files_with_labels.pickle"),
-        )
-        self.remove_rows_from_files_with_labels(rows_to_remove)
-        if self.size is None:
-            self.size = len(self.files_with_labels)
-
-        self.label_options_weights = do_with_pickle_cache(
-            self.get_all_label_options_weights,
-            os.path.join(cache_dir, source, "label_options_weights.pickle"),
-        )
-
-        # augmentation label priors from the probability tree (ref :86-99)
         if self.should_augment:
-            base_prob = self.aug_probs["prob"]
-            sub_probs = self.aug_probs["sub_probs"]
-            for augmentation, augmentation_labels in self.aug_options.items():
-                sub_prob = sub_probs[augmentation]["prob"]
-                option_prob = 1.0 / len(augmentation_labels)
-                true_w = {
-                    "none": 0.0,
-                    "disabled": (1 - base_prob) + base_prob * (1 - sub_prob),
-                    **{label: base_prob * sub_prob * option_prob for label in augmentation_labels},
-                }
-                false_w = {k: 1 - v for k, v in true_w.items()}
-                self.label_options_weights[augmentation] = {"true": true_w, "false": false_w}
+            self.augmentors = {
+                "noise": NoiseAugmentor(aug_dir, self.label_options).augment,
+                "rir": RirAugmentor(aug_dir).augment,
+                "reverb": ReverbAugmentor(sampling_rate).augment,
+                "lowpass": LowpassAugmentor(sampling_rate).augment,
+                "highpass": HighpassAugmentor(sampling_rate).augment,
+                "codec": CodecAugmentor(sampling_rate).augment,
+                "hilbert": HilbertAugmentor(sampling_rate).augment,
+            }
+        print(f"dataset [{name}]: ready ({len(self)} items)")
 
-        all_label_groups = {
-            key: [*label_groups[key], *augmentation_label_groups[key]] for key in label_groups
+    # -- label tables -------------------------------------------------
+
+    def _augmentation_ratios(self) -> dict:
+        """Priors for the augmentation labels straight from the probability
+        tree: P(option) = P(augment) * P(this augmentor) * 1/|options|,
+        'disabled' takes the rest, 'none' never occurs (ref :86-99)."""
+        ratios = {}
+        p_any = self.aug_probs["prob"]
+        for aug, options in self.aug_options.items():
+            p_sub = self.aug_probs["sub_probs"][aug]["prob"]
+            p_each = p_any * p_sub / len(options)
+            true = {
+                "none": 0.0,
+                "disabled": 1.0 - p_any * p_sub,
+                **{option: p_each for option in options},
+            }
+            ratios[aug] = {
+                "true": true,
+                "false": {k: 1.0 - v for k, v in true.items()},
+            }
+        return ratios
+
+    def _publish_label_tables(self, stats: dict) -> None:
+        """Materialise the grouped option/weight views consumed by the
+        model builders and callbacks."""
+        grouped_names = {
+            group: (*TAXONOMY[group], *AUGMENTATION_TAXONOMY[group])
+            for group in TAXONOMY
         }
+        self.label_options_weights = stats
         self.label_options_weights_groups = {
-            key: {label: self.label_options_weights[label] for label in group if label in self.label_options_weights}
-            for key, group in all_label_groups.items()
-        }
-        self.label_options_groups = {
-            key: {label: tuple(value["true"].keys()) for label, value in group.items()}
-            for key, group in self.label_options_weights_groups.items()
+            group: {name: stats[name] for name in names if name in stats}
+            for group, names in grouped_names.items()
         }
         self.label_options = {
-            key: tuple(v["true"].keys()) for key, v in self.label_options_weights.items()
+            name: tuple(value["true"]) for name, value in stats.items()
         }
+        self.label_options_groups = {
+            group: {name: tuple(v["true"]) for name, v in members.items()}
+            for group, members in self.label_options_weights_groups.items()
+        }
+
+        def weight_row(value):
+            options = tuple(value["true"])
+            return {
+                "true": tuple(value["true"][o] for o in options),
+                "false": tuple(value["false"][o] for o in options),
+            }
+
+        self.label_weights = {name: weight_row(v) for name, v in stats.items()}
         self.label_weights_groups = {
-            key: {
-                label: {
-                    "true": tuple(self.label_options_weights_groups[key][label]["true"][o] for o in options),
-                    "false": tuple(self.label_options_weights_groups[key][label]["false"][o] for o in options),
-                }
-                for label, options in group.items()
-            }
-            for key, group in self.label_options_groups.items()
-        }
-        self.label_weights = {
-            label: {
-                "true": tuple(self.label_options_weights[label]["true"][o] for o in options),
-                "false": tuple(self.label_options_weights[label]["false"][o] for o in options),
-            }
-            for label, options in self.label_options.items()
+            group: {name: weight_row(v) for name, v in members.items()}
+            for group, members in self.label_options_weights_groups.items()
         }
 
-        if self.should_augment:
-            self.aug_methods = {
-                "noise": NoiseAugmentor(self.aug_dir, self.label_options).augment,
-                "rir": RirAugmentor(self.aug_dir).augment,
-                "reverb": ReverbAugmentor(self.sampling_rate).augment,
-                "lowpass": LowpassAugmentor(self.sampling_rate).augment,
-                "highpass": HighpassAugmentor(self.sampling_rate).augment,
-                "codec": CodecAugmentor(self.sampling_rate).augment,
-                "hilbert": HilbertAugmentor(self.sampling_rate).augment,
-            }
-        print(f"Dataset [{self.name}] is ready!\n")
+    # -- frame-label tensors ------------------------------------------
 
-    # ------------------------------------------------------------------
-    # corpus / label statistics
-    # ------------------------------------------------------------------
+    def _rasterize(self, tier: pd.DataFrame) -> np.ndarray:
+        """Interval tier -> per-embedding-frame string array (slice
+        assignment per interval; later intervals win ties)."""
+        period = self.embedding_size / self.sampling_rate
+        t0 = float(tier.iloc[0]["start"])
+        t1 = float(tier.iloc[-1]["end"])
+        frames = int((t1 - t0) // period)
+        values = np.full(frames, "none", dtype=object)
+        starts = (tier["start"].to_numpy() // period).astype(int)
+        ends = np.minimum((tier["end"].to_numpy() // period).astype(int), frames)
+        for lo, hi, text in zip(starts, ends, tier["text"]):
+            values[lo:hi] = text
+        return values
 
-    def get_files_with_labels(self, main_dir, config_path):
-        main_dir = Path(main_dir)
-        results = None
-        for subdir in main_dir.glob("*/"):
-            try:
-                for config_file in subdir.glob(config_path):
-                    config_dict = json.loads(config_file.read_text())
-                    print("Loading [{}]...".format(config_dict["name"]))
-                    complex_data = parse_complex_data(
-                        subdir, Path(self.data_dir), config_dict["config"], config_dict["result"]
-                    )
-                    print("[{}] loaded successfully!".format(config_dict["name"]))
-                    results = (
-                        complex_data
-                        if results is None
-                        else pd.concat([results, complex_data], axis=0, ignore_index=True)
-                    )
-            except Exception as e:
-                print(e)
-                print("Data config was not found or invalid, moving on.")
-                continue
-        return results
+    def _encode(self, name: str, values: np.ndarray) -> np.ndarray:
+        """String frame values -> class-id tensor via the option tables."""
+        options = self.label_options[name]
+        lut = {option: k for k, option in enumerate(options)}
+        return np.fromiter((lut[v] for v in values), np.int64, len(values))
 
-    def remove_rows_from_files_with_labels(self, rows_to_remove):
-        if len(rows_to_remove) > 0:
-            self.files_with_labels = self.files_with_labels.drop(rows_to_remove).reset_index(drop=True)
+    def _fresh_frame_labels(self, row: int) -> dict:
+        tiers = self.index.interval_tiers(row)
+        rasters = {name: self._rasterize(tier) for name, tier in tiers.items()}
+        n_frames = min(len(r) for r in rasters.values())
+        utt = self.index.utterance_labels(row)
+        out: dict = {}
+        for group, names in TAXONOMY.items():
+            out[group] = {}
+            for name in names:
+                if name in rasters:
+                    values = rasters[name][:n_frames]
+                else:  # utterance-constant labels broadcast over frames
+                    values = np.full(n_frames, utt[name], dtype=object)
+                out[group][name] = self._encode(name, values)
+        return out
 
-    def get_all_label_options_weights(self):
-        """Class-frequency ratios per label (ref :172-219), with corrupt-row
-        quarantine recorded to rows_to_remove.pickle."""
-        import multiprocessing
-
-        label_options: dict = {}
-        label_totals: dict = {}
-
-        workers = self.num_workers or min(16, multiprocessing.cpu_count())
-        indices = range(len(self))
-        if workers > 1:
-            with multiprocessing.Pool(workers) as pool:
-                timed_labels_counts = pool.map(self.get_timed_labels_value_counts_by_index, indices)
-        else:
-            timed_labels_counts = [self.get_timed_labels_value_counts_by_index(i) for i in indices]
-
-        rows_to_remove = [i for i, c in enumerate(timed_labels_counts) if isinstance(c, Exception)]
-        valid_counts = [c for c in timed_labels_counts if not isinstance(c, Exception)]
-        create_pickle_cache(
-            lambda: rows_to_remove,
-            os.path.join(self.cache_dir, self.source, "rows_to_remove.pickle"),
-        )
-        self.remove_rows_from_files_with_labels(rows_to_remove)
-        if not valid_counts:
-            raise RuntimeError("no valid items — every row failed label parsing")
-
-        for col in labels_to_use:
-            col_value_counts = self.files_with_labels[col].value_counts()
-            label_options[col] = {
-                "true": dict(col_value_counts),
-                "false": dict(-col_value_counts + len(self.files_with_labels)),
-            }
-            label_totals[col] = len(self.files_with_labels)
-
-        total_amount = len(valid_counts)
-        for label in valid_counts[0][0]:
-            label_options[label] = {"true": {}, "false": {}}
-            label_totals[label] = total_amount
-        for true_counts, false_counts in valid_counts:
-            for label in timed_labels_to_use:
-                for key in true_counts[label]:
-                    tv, fv = true_counts[label][key], false_counts[label][key]
-                    if key not in label_options[label]["true"]:
-                        label_options[label]["true"][key] = 0
-                        label_options[label]["false"][key] = total_amount
-                    label_options[label]["true"][key] += 0 if tv == 0 else 1
-                    label_options[label]["false"][key] -= 1 if fv == 0 else 0
-
-        for label in label_options:
-            total = label_totals[label]
-            for key in label_options[label]["true"]:
-                label_options[label]["true"][key] /= total
-                label_options[label]["false"][key] /= total
-        return {
-            key: {
-                "true": self.sort_options(value["true"], none_ratio=0.0),
-                "false": self.sort_options(value["false"], none_ratio=1.0),
-            }
-            for key, value in label_options.items()
-        }
-
-    def sort_options(self, options: dict, none_ratio=0.0):
-        result = OrderedDict()
-        if "none" not in options:
-            options["none"] = none_ratio
-        items = sorted(options.items(), key=lambda pair: pair[1], reverse=True)
-        keys = [k for k, _v in items]
-        keys.remove("none")
-        keys.insert(0, "none")
-        for key in keys:
-            result[key] = options[key]
-        return result
-
-    def get_timed_labels_value_counts_by_index(self, i):
-        try:
-            if self.size < len(self.files_with_labels):
-                i = (int(len(self.files_with_labels) / PHI) * i) % len(self.files_with_labels)
-            _labels, timed_labels = self.get_timed_labels(i)
-            return self.get_labels_value_counts(timed_labels)
-        except Exception as e:
-            print(f"Item {i} failed to get timed labels: [{e}]")
-            return e
-
-    def get_labels_value_counts(self, timed_labels):
-        true_labels, false_labels = {}, {}
-        for label, timed_label in timed_labels.items():
-            if label in timed_labels_to_use:
-                timed_label = timed_label.copy()
-                timed_label["length"] = timed_label["end"] - timed_label["start"]
-                length_sum = timed_label["length"].sum()
-                true_labels[label] = dict(timed_label.groupby(["text"])["length"].sum())
-                false_labels[label] = {k: length_sum - v for k, v in true_labels[label].items()}
-        return true_labels, false_labels
-
-    # ------------------------------------------------------------------
-    # timed labels
-    # ------------------------------------------------------------------
-
-    def get_timed_labels(self, index):
-        all_labels = self.files_with_labels.iloc[index]
-        labels = self.get_labels(index)
-        timed_labels = parse_textgrid(self.data_dir, all_labels["textgrid"])
-        timed_labels = self.add_sad_timed_labels(timed_labels)
-        timed_labels = self.add_sad_based_timed_labels(labels, timed_labels)
-        timed_labels = {k: v for k, v in timed_labels.items() if k in timed_labels_to_use}
-        return labels, timed_labels
-
-    def add_sad_timed_labels(self, timed_labels):
-        sad = timed_labels["words"].copy()
-        sad["text"] = sad["text"].apply(lambda x: "silence" if x == "" else "speech")
-        timed_labels["sad"] = sad
-        return timed_labels
-
-    def add_sad_based_timed_labels(self, labels, timed_labels):
-        for label in sad_based_labels:
-            value = labels[label]
-            timed_label = timed_labels["sad"].copy()
-            timed_label["text"] = timed_label["text"].apply(
-                lambda x: "silence" if x == "silence" else value
-            )
-            timed_labels[label] = timed_label
-        return timed_labels
-
-    def get_labels(self, index):
-        return self.files_with_labels[labels_to_use].iloc[index]
-
-    def get_grouped_labels(self, index):
-        labels = self.get_labels(index)
-        return {
-            group: labels.filter(group_labels).to_dict()
-            for group, group_labels in label_groups.items()
-        }
-
-    # ------------------------------------------------------------------
-    # segmented label tensors (pickle-cached per item)
-    # ------------------------------------------------------------------
-
-    def get_pickle_label(self, index):
+    def cached_frame_labels(self, row: int) -> dict:
         return do_with_pickle_cache(
-            lambda: self.get_fresh_label(index),
-            os.path.join(self.cache_dir, self.source, "labels_cache", f"{index}.pickle"),
+            lambda: self._fresh_frame_labels(row),
+            str(self._frame_label_dir / f"{row}.pickle"),
         )
 
-    def create_pickle_label(self, index):
-        return create_pickle_cache(
-            lambda: self.get_fresh_label(index),
-            os.path.join(self.cache_dir, self.source, "labels_cache", f"{index}.pickle"),
+    def create_pickle_label(self, row: int) -> None:
+        """Warm one row's frame-label cache (cli/warm_cache fan-out)."""
+        create_pickle_cache(
+            lambda: self._fresh_frame_labels(row),
+            str(self._frame_label_dir / f"{row}.pickle"),
         )
 
-    def get_fresh_label(self, index):
-        labels, timed_labels = self.get_timed_labels(index)
-        segmented = self.get_segmented_timed_labels(timed_labels)
-        segmented = self.add_segmented_labels(segmented, labels)
-        return self.convert_segmented_labels_to_tensor(segmented, label_groups)
+    # -- item access ---------------------------------------------------
 
-    def get_segmented_timed_labels(self, timed_labels):
-        return pd.concat(
-            [
-                self.get_segmented_timed_labels_for_single(name, tl)
-                for name, tl in timed_labels.items()
-            ],
-            axis=1,
-        )
+    def _scan_row(self, position: int) -> int:
+        """Golden-ratio low-discrepancy position->row map when a size cap
+        subsamples the corpus (deterministic validation subsets)."""
+        n = len(self.index)
+        if self.size >= n:
+            return position
+        return (int(n / _GOLDEN) * position) % n
 
-    def get_segmented_timed_labels_for_single(self, label_name, timed_label):
-        time_interval = self.embedding_size / self.sampling_rate
-        start_time = timed_label.iloc[0]["start"]
-        end_time = timed_label.iloc[-1]["end"]
-        segmented_length = int((end_time - start_time) // time_interval)
-        values = ["none"] * segmented_length
-        for _idx, row in timed_label.iterrows():
-            lo = int(row["start"] // time_interval)
-            hi = int(row["end"] // time_interval)
-            for j in range(lo, min(hi, segmented_length)):
-                values[j] = row["text"]
-        return pd.DataFrame({label_name: values})
+    def __len__(self) -> int:
+        return min(len(self.index), self.size)
 
-    def add_segmented_labels(self, segmented_timed_labels, labels):
-        for col in labels.index:
-            if col not in segmented_timed_labels:
-                segmented_timed_labels[col] = labels[col]
-        return segmented_timed_labels
-
-    def convert_segmented_labels_to_tensor(self, all_segmented_labels, given_label_groups):
-        all_tensors = {}
-        for key, labels in given_label_groups.items():
-            tensors = {}
-            for col in labels:
-                if col in all_segmented_labels:
-                    tensors[col] = np.asarray(
-                        all_segmented_labels[col]
-                        .apply(lambda x: self.label_options[col].index(x))
-                        .tolist(),
-                        dtype=np.int64,
-                    )
-            all_tensors[key] = tensors
-        return all_tensors
-
-    # ------------------------------------------------------------------
-    # item access
-    # ------------------------------------------------------------------
-
-    def __len__(self):
-        return min(len(self.files_with_labels), self.size)
-
-    def __getitem__(self, index):
-        currand = random.Random()
+    def __getitem__(self, position: int):
+        rng = random.Random()
         if self.deterministic:
-            currand.seed(index)
-        if self.size < len(self.files_with_labels):
-            index = (int(len(self.files_with_labels) / PHI) * index) % len(self.files_with_labels)
-        return self.get_augmented_item(index, currand)
-
-    def get_augmented_item(self, index, currand):
-        wav, wav_path, time_labels, grouped_labels = self.get_cut_item(index, currand)
+            rng.seed(position)
+        row = self._scan_row(position)
+        wav, path, frames, utt = self._crop(row, rng)
         if self.should_augment:
-            wav, time_labels, grouped_labels = self.augment_item(
-                wav, time_labels, grouped_labels, currand
-            )
-        return wav, wav_path, time_labels, grouped_labels
+            wav, frames, utt = self._apply_augmentations(wav, frames, utt, rng)
+        return wav, path, frames, utt
 
-    def get_wav(self, index):
-        wav_path = get_path_by_glob(
-            self.data_dir, self.files_with_labels.iloc[index]["wav"]
-        )
+    def _load_audio(self, row: int) -> tuple[np.ndarray, str]:
+        path = get_path_by_glob(self.data_dir, self.index.table.iloc[row]["wav"])
         if self.disable_wavs:
-            return np.zeros((self.segment_length,), np.float32), str(wav_path)
-        audio, sr = load_wav(wav_path)
+            return np.zeros((self.segment_length,), np.float32), str(path)
+        audio, sr = load_wav(path)
         if sr != self.sampling_rate:
-            raise ValueError(f"{sr} SR doesn't match target {self.sampling_rate} SR")
-        return audio[0].astype(np.float32), str(wav_path)
+            raise ValueError(f"{path}: {sr} Hz != dataset rate {self.sampling_rate}")
+        return audio[0].astype(np.float32), str(path)
 
-    def get_cut_item(self, index, currand):
-        wav, wav_path = self.get_wav(index)
-        pickle_label_groups = self.get_pickle_label(index)
-        # deep-copy the cached label dict before cutting in place
-        pickle_label_groups = {
-            k: {l: v.copy() for l, v in g.items()} for k, g in pickle_label_groups.items()
+    def _crop(self, row: int, rng: random.Random):
+        """Random segment_length crop aligned to the embedding grid; short
+        items get random-split zero padding on both tensors."""
+        wav, path = self._load_audio(row)
+        frames = {
+            group: {name: arr for name, arr in members.items()}
+            for group, members in self.cached_frame_labels(row).items()
         }
-        length = wav.shape[0]
-        emb_seg_len = self.segment_length // self.embedding_size
-        emb_len = min(
-            length // self.embedding_size,
-            next(iter(next(iter(pickle_label_groups.values())).values())).shape[0],
+
+        emb = self.embedding_size
+        seg_frames = self.segment_length // emb
+        n_frames = min(
+            wav.shape[0] // emb,
+            min(arr.shape[0] for members in frames.values() for arr in members.values()),
         )
-        trimmed = emb_len * self.embedding_size
-        if len(wav) > trimmed:
-            wav = wav[:trimmed]
-        length = wav.shape[0]
+        wav = wav[: n_frames * emb]
 
-        if length >= self.segment_length:
-            max_emb_start = emb_len - emb_seg_len
-            emb_start = currand.randint(0, max_emb_start)
-            start = emb_start * self.embedding_size
+        if n_frames >= seg_frames:
+            first = rng.randint(0, n_frames - seg_frames)
+            cut_wav = wav[first * emb : (first + seg_frames) * emb]
+            cut = lambda arr: arr[:n_frames][first : first + seg_frames]  # noqa: E731
         else:
-            emb_padding = emb_seg_len - emb_len
-            prefix_emb_pad = currand.randint(0, emb_padding)
-            postfix_emb_pad = emb_padding - prefix_emb_pad
-            prefix_pad = prefix_emb_pad * self.embedding_size
-            postfix_pad = postfix_emb_pad * self.embedding_size
+            lead = rng.randint(0, seg_frames - n_frames)
+            tail = seg_frames - n_frames - lead
+            cut_wav = np.pad(wav, (lead * emb, tail * emb))
+            cut = lambda arr: np.pad(arr[:n_frames], (lead, tail))  # noqa: E731
+        frames = {
+            group: {name: cut(arr) for name, arr in members.items()}
+            for group, members in frames.items()
+        }
 
-        for key, group in pickle_label_groups.items():
-            for label, item in group.items():
-                item = item[:emb_len]
-                if length >= self.segment_length:
-                    cut = item[emb_start : emb_start + emb_seg_len]
-                else:
-                    cut = np.pad(item, (prefix_emb_pad, postfix_emb_pad))
-                group[label] = cut
+        utt_values = self.index.utterance_labels(row)
+        utt = {
+            group: {n: utt_values[n] for n in names if n in utt_values.index}
+            for group, names in TAXONOMY.items()
+        }
+        return cut_wav, path, frames, utt
 
-        if length >= self.segment_length:
-            wav = wav[start : start + self.segment_length]
-        else:
-            wav = np.pad(wav, (prefix_pad, postfix_pad))
+    # -- augmentation ---------------------------------------------------
 
-        grouped_labels = self.get_grouped_labels(index)
-        return wav, wav_path, pickle_label_groups, grouped_labels
-
-    # ------------------------------------------------------------------
-    # augmentation
-    # ------------------------------------------------------------------
-
-    def augment_item(self, cut_wav, cut_label, grouped_labels, currand):
-        options, probs, methods = self.aug_options, self.aug_probs, self.aug_methods
-        length = next(iter(next(iter(cut_label.values())).values())).shape[0]
-        augmented_wav = cut_wav
-        augmented_label = pd.DataFrame(["none"] * length, columns=["none"])
-        should_augment = probs["prob"] > currand.random()
-        for augmentation in options.keys():
-            augmented_wav, augmented_label, value = self.augment_item_with(
-                augmented_wav, augmented_label, cut_label, methods, options, probs,
-                augmentation, currand, should_augment,
-            )
-            for section, current_groups in augmentation_label_groups.items():
-                if augmentation in current_groups:
-                    grouped_labels[section][augmentation] = value
-        augmentation_tensors = self.convert_segmented_labels_to_tensor(
-            augmented_label, augmentation_label_groups
+    def _apply_augmentations(self, wav, frames, utt, rng: random.Random):
+        """Walk the probability tree once per augmentor; successful draws
+        transform the waveform and stamp their label on every frame of the
+        item (augmentations apply to the whole crop, ref :478-517)."""
+        n_frames = next(
+            arr.shape[0] for members in frames.values() for arr in members.values()
         )
-        for key in cut_label.keys():
-            for label, value in augmentation_tensors.get(key, {}).items():
-                cut_label[key][label] = value
-        return augmented_wav, cut_label, grouped_labels
+        roll_any = self.aug_probs["prob"] > rng.random()
+        for aug in self.aug_options:
+            value = "disabled"
+            if roll_any and self.aug_probs["sub_probs"][aug]["prob"] > rng.random():
+                value = rng.choice(self.aug_options[aug])
+                _, wav, value = self.augmentors[aug](
+                    rng, None, frames, wav, value, self.disable_wavs
+                )
+            for group, names in AUGMENTATION_TAXONOMY.items():
+                if aug in names:
+                    frames[group][aug] = self._encode(
+                        aug, np.full(n_frames, value, dtype=object)
+                    )
+                    utt[group][aug] = value
+        return wav, frames, utt
 
-    def augment_item_with(self, augmented_wav, augmented_label, cut_label, methods,
-                          options, probs, aug_type, currand, should=True):
-        value = "disabled"
-        sub_probs = probs["sub_probs"][aug_type]
-        if should and sub_probs["prob"] > currand.random():
-            value = currand.choice(options[aug_type])
-            augmented_label, augmented_wav, value = methods[aug_type](
-                currand, augmented_label, cut_label, augmented_wav, value, self.disable_wavs
-            )
-        augmented_label[aug_type] = value
-        return augmented_wav, augmented_label, value
-
-    # ------------------------------------------------------------------
-    # batching for the distill trainer
-    # ------------------------------------------------------------------
+    # -- batching --------------------------------------------------------
 
     def batches(self, batch_size, shuffle=True, drop_last=True, seed=1234,
                 process_index=0, process_count=1):
-        """Stacked host batches: {'audio': (B, T), 'time_labels':
-        {group: {label: (B, T_emb) int}}, 'paths': [...], 'grouped_labels':
-        [...]} — static shapes, per-host strided sharding."""
-        rng = np.random.default_rng(seed)
+        """Stacked host batches: ``{'audio': (B, T) f32, 'time_labels':
+        {group: {label: (B, T_emb) int64}}, 'paths': [...],
+        'grouped_labels': [...]}`` — static shapes; strided per-host
+        sharding (host ``i`` of ``N`` takes positions i, i+N, ... of one
+        shared shuffle, the DistributedSampler replacement)."""
         order = np.arange(len(self))
         if shuffle:
-            rng.shuffle(order)
+            np.random.default_rng(seed).shuffle(order)
         order = order[process_index::process_count]
-        n = len(order)
-        end = n - n % batch_size if drop_last else n
-        for i in range(0, end, batch_size):
-            items = [self[int(j)] for j in order[i : i + batch_size]]
-            audio = np.stack([it[0] for it in items])
-            time_labels = {
-                g: {
-                    l: np.stack([it[2][g][l] for it in items])
-                    for l in items[0][2][g]
-                }
-                for g in items[0][2]
-            }
+        usable = len(order) - (len(order) % batch_size if drop_last else 0)
+        for at in range(0, usable, batch_size):
+            items = [self[int(p)] for p in order[at : at + batch_size]]
+            head = items[0][2]
             yield {
-                "audio": audio.astype(np.float32),
-                "time_labels": time_labels,
-                "paths": [it[1] for it in items],
-                "grouped_labels": [it[3] for it in items],
+                "audio": np.stack([wav for wav, *_ in items]).astype(np.float32),
+                "time_labels": {
+                    group: {
+                        name: np.stack([item[2][group][name] for item in items])
+                        for name in head[group]
+                    }
+                    for group in head
+                },
+                "paths": [path for _, path, *_ in items],
+                "grouped_labels": [utt for *_, utt in items],
             }

@@ -87,6 +87,12 @@ def save_distill_state(path: str, state: DistillTrainState) -> None:
 def load_distill_state(path: str, template: DistillTrainState) -> DistillTrainState:
     with open(path, "rb") as f:
         restored = serialization.msgpack_restore(f.read())
+    # migrate checkpoints saved by the pre-vmap (unrolled-ensemble) layout
+    from hifigan_tpu.utils.pytree import restack_legacy_ensembles
+
+    restored = restack_legacy_ensembles(
+        restored, serialization.to_state_dict(template)
+    )
     return serialization.from_state_dict(template, restored)
 
 
@@ -221,7 +227,11 @@ def main() -> None:
     from hifigan_tpu.data.multilabel import MultilabelWaveDataset
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", required=True)
+    parser.add_argument(
+        "--config",
+        default=str(__import__("pathlib").Path(__file__).resolve().parents[2] / "configs" / "distill.json"),
+        help="distillation config (default: the shipped production configs/distill.json)",
+    )
     parser.add_argument("--datasets_dir", default="/datasets")
     parser.add_argument("--logs_base", default=DEFAULT_LOGS_BASE)
     parser.add_argument("--max_steps", default=1_000_000, type=int)

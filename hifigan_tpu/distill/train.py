@@ -403,13 +403,13 @@ class DistillTrainer:
     # ------------------------------------------------------------------
 
     def make_train_step(self, mesh: Mesh | None = None, donate: bool | None = None):
-        # donate=None: True on real hardware, False under the axon dev
-        # tunnel where donated steps dispatch ~45x slower and donated
-        # outputs can't be fetched (docs/OPERATIONS.md)
+        # donate=None: HIFIGAN_TPU_NO_DONATE override, then dev-tunnel
+        # autodetect (donated outputs can't be fetched through the axon
+        # tunnel), then donate-by-default (docs/OPERATIONS.md)
         if donate is None:
-            import os
+            from hifigan_tpu.utils.runtime import donation_default
 
-            donate = not os.environ.get("PALLAS_AXON_POOL_IPS")
+            donate = donation_default()
         group_keys = list(self.flat_groups.keys())
         txs = {g: make_optimizer(self.flat_groups[g], self.b1, self.b2) for g in group_keys}
 

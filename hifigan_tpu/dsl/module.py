@@ -193,7 +193,11 @@ class ConfigurableModule(nn.Module):
             ConfigurableModule,
             in_axes=None,
             out_axes=0,
-            variable_axes={"params": 0, "spectral": 0, "valves": 0},
+            # valves are broadcast (None), not stacked: a valve ratio is a
+            # global schedule value shared by every member (the decay
+            # callback writes one scalar per tag), and sharing keeps the
+            # leaf 0-d so schedule rewrites can't desync member shapes
+            variable_axes={"params": 0, "spectral": 0, "valves": None},
             split_rngs={"params": True, "noise": True},
             axis_size=n,
         )

@@ -141,15 +141,14 @@ def make_train_step(h, mesh: Mesh | None = None, donate: bool | None = None,
     (fine-tuning on teacher-forced mels, reference src/meldataset.py:155-172)
     it is used as the generator input.
 
-    ``donate=None`` resolves to True (right on real hardware: the state
-    updates in place) EXCEPT under the axon dev tunnel
-    (PALLAS_AXON_POOL_IPS set), where donated-state steps dispatch ~45x
-    slower and donated outputs can't be fetched (docs/OPERATIONS.md).
+    ``donate=None`` resolves via utils.runtime.donation_default():
+    HIFIGAN_TPU_NO_DONATE override first, dev-tunnel autodetect second,
+    donate-on-real-hardware default last.
     """
     if donate is None:
-        import os
+        from hifigan_tpu.utils.runtime import donation_default
 
-        donate = not os.environ.get("PALLAS_AXON_POOL_IPS")
+        donate = donation_default()
     mel_cfg = MelConfig.from_hparams(h)
     mel_loss_cfg = MelConfig.from_hparams(h, fmax_key="fmax_for_loss")
     mpd, msd = build_discriminators(h)

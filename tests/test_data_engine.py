@@ -334,7 +334,7 @@ def test_warm_label_caches_parallel(corpus):
     from hifigan_tpu.cli.warm_cache import warm_label_caches
 
     ds = make_dataset(corpus, disable_wavs=True)
-    cache = Path(corpus["cache"]) / "train" / "labels_cache"
+    cache = Path(corpus["cache"]) / "train" / "frame_labels"
     shutil.rmtree(cache, ignore_errors=True)
     cache.mkdir(parents=True)
     warm_label_caches(ds, workers=2)

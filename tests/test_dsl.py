@@ -358,3 +358,69 @@ def test_ensemble_vmapped_matches_unrolled():
     np.testing.assert_allclose(
         np.asarray(out["variance"]), stacked_out.var(0, ddof=1), atol=1e-5, rtol=1e-5
     )
+
+
+def test_valve_decay_inside_vmapped_ensemble():
+    """Valves inside a vmapped ensemble are BROADCAST (shared across
+    members), so the decay callback's schedule rewrite keeps working across
+    repeated applies (regression: stacked (n,) valves + a 0-d rewrite broke
+    the next vmapped unstack)."""
+    from hifigan_tpu.callbacks.valves import ValveDecayCallback
+
+    member = get_decaying_block(1.0, "skip", "anti", 4, ("conv", (4, 4, 3, 1, 1, 1, 0.01)))
+    mod = ConfigurableModule(config=("ensemble", [member, member]))
+    x = jnp.zeros((1, 8, 4))
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+    variables = mod.init(rngs, x)
+    assert "valves" in variables
+
+    cb = ValveDecayCallback(
+        {"skip": {"anti": "anti", "start": 0, "limit": 100, "decay": 0.9, "anti_decay": 0.9}},
+        valves_steps=1,
+    )
+    v50 = cb.update_valves(variables, global_step=50)
+    # shapes preserved exactly -> the rewritten tree still applies cleanly
+    for (k0, l0), (k1, l1) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(variables["valves"]), key=lambda kv: str(kv[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(v50["valves"]), key=lambda kv: str(kv[0])),
+    ):
+        assert l0.shape == l1.shape
+    out = mod.apply(
+        {**variables, "valves": v50["valves"]}, x, rngs={"noise": jax.random.PRNGKey(2)}
+    )
+    assert np.all(np.isfinite(np.asarray(out["mean"])))
+
+
+def test_legacy_unrolled_ensemble_checkpoint_restacks():
+    """Checkpoints saved with ensemble_impl='unroll' (flat {base}_e{i}_*
+    submodules) restore into the vmapped {base}_ens layout via
+    restack_legacy_ensembles — same params, same outputs."""
+    from flax import serialization
+
+    from hifigan_tpu.utils.pytree import restack_legacy_ensembles
+
+    member = ("conv", (4, 4, 3, 1, 1, 1, 0.01))
+    cfg = ("ensemble", [member, member, member])
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 4)), jnp.float32)
+
+    legacy_mod = ConfigurableModule(config=cfg, ensemble_impl="unroll")
+    legacy_vars = legacy_mod.init(jax.random.PRNGKey(0), x)
+    legacy_out = legacy_mod.apply(legacy_vars, x)
+    saved = serialization.msgpack_restore(
+        serialization.msgpack_serialize(
+            jax.tree_util.tree_map(np.asarray, serialization.to_state_dict(legacy_vars))
+        )
+    )
+
+    vmap_mod = ConfigurableModule(config=cfg)  # ensemble_impl='vmap' default
+    template = vmap_mod.init(jax.random.PRNGKey(1), x)
+    migrated = restack_legacy_ensembles(saved, serialization.to_state_dict(template))
+    restored = serialization.from_state_dict(template, migrated)
+    vmap_out = vmap_mod.apply(restored, x)
+
+    np.testing.assert_allclose(
+        np.asarray(vmap_out["mean"]), np.asarray(legacy_out["mean"]), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(vmap_out["variance"]), np.asarray(legacy_out["variance"]), atol=1e-5, rtol=1e-5
+    )

@@ -1,8 +1,13 @@
-"""Shape-validate the PRODUCTION-scale distillation configs (the reference's
-shipped config/config.json: embedding 273, expansion 4, 12-layer all-in-one
-discriminator) via jax.eval_shape — no compute, full DSL arithmetic."""
+"""Shape-validate the PRODUCTION-scale distillation config (the SHIPPED
+configs/distill.json: embedding 273, expansion 4, 12-layer all-in-one
+discriminator) via jax.eval_shape — no compute, full DSL arithmetic.
+
+A separate (skippable) test cross-checks the shipped config against the
+reference's config/config.json when that mount is present."""
 
 import json
+import os
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -19,16 +24,34 @@ from hifigan_tpu.dsl.static_configs import (
     get_generator_configs,
 )
 
+SHIPPED_CONFIG = Path(__file__).resolve().parent.parent / "configs" / "distill.json"
 REF_CONFIG = "/root/reference/config/config.json"
-
-pytestmark = pytest.mark.skipif(
-    not __import__("os").path.exists(REF_CONFIG), reason="reference config not mounted"
-)
 
 
 @pytest.fixture(scope="module")
 def shipped():
-    return json.load(open(REF_CONFIG))
+    return json.load(open(SHIPPED_CONFIG))
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CONFIG), reason="reference config not mounted")
+def test_shipped_config_matches_reference_schema(shipped):
+    """Every architecture/learning key the reference production config
+    carries exists in the shipped config with the same value (mel num_freq
+    excepted: ours derives it from n_fft)."""
+    ref = json.load(open(REF_CONFIG))
+
+    def check(r, s, path=""):
+        if isinstance(r, dict):
+            for k, v in r.items():
+                if path == "/mel" and k == "num_freq":
+                    continue  # derived from n_fft in this framework
+                assert k in s, f"missing key {path}/{k}"
+                check(v, s[k], f"{path}/{k}")
+        else:
+            assert r == s or ({r, s} <= {1, True}), f"{path}: {r!r} != {s!r}"
+
+    for key in ("loops", "models", "learning", "mel", "augmentation", "sampling_rate"):
+        check(ref[key], shipped[key], f"/{key}")
 
 
 def _params_count(tree):
