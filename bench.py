@@ -4,17 +4,19 @@ Baseline (reference README.md:17-18, HiFi-GAN paper): 167.9x real-time on a
 V100 at 22.05 kHz. North star (BASELINE.json): >=500x per TPU v5e chip.
 
 Prints one JSON line per metric ({"metric", "value", "unit", "vs_baseline"});
-the headline inference RTF is the LAST line (the driver parses the last
-line). Also emitted: v1_train_step_ms, v1_b1_serving_rtf.
+the headline V1 inference RTF is the LAST line (the driver parses the last
+line). Also emitted: v1_train_step_ms (vs_baseline = training throughput in
+x-realtime; the reference deleted train.py and publishes no train-step
+number), v1_train_step_mfu_pct (percent of v5e bf16 peak from the compiled
+step's own FLOP count), v1_b1_serving_rtf, v2_mel_to_wav_rtf, and
+v3_mel_to_wav_rtf.
 
-Method: folded-weight-norm V1 generator, bfloat16 compute (MXU path),
-batch 128 x 256 mel frames (= 8.4 M samples = 380 s of audio per call).
-Timing chains each call's output into an on-device accumulator and fetches
-once at the end — block_until_ready alone under-reports through the axon
-tunnel (async completion), so sequential data dependency forces real
-execution. Measured on TPU v5e: ~1285x real-time at batch 32,
-~2644x at batch 128 (throughput scales sub-linearly with batch; the
-32-channel tail stages are MXU-utilisation-bound).
+Method: folded-weight-norm generators, bfloat16 compute (MXU path),
+batch 128 x 256 mel frames. Timing chains each call's output into an
+on-device accumulator and fetches once at the end — block_until_ready alone
+under-reports through the axon tunnel (async completion), so sequential data
+dependency forces real execution. Measured on TPU v5e: V1 ~2644x real-time
+at batch 128; V2 ~14560x; V3 ~11300x.
 """
 
 from __future__ import annotations
@@ -34,16 +36,27 @@ from hifigan_tpu.config import get_config, upsample_hop
 from hifigan_tpu.models import Generator, fold_weight_norm
 
 BASELINE_RTF = 167.9  # V100, reference README.md:17-18
-R01_TRAIN_STEP_MS = 133.5  # round-1 measured step time (docs/OPERATIONS.md)
+V5E_BF16_PEAK_TFLOPS = 197.0  # v5e chip peak (bf16)
+
+
+def emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
+    print(json.dumps({
+        "metric": metric,
+        "value": value,
+        "unit": unit,
+        "vs_baseline": vs_baseline,
+    }), flush=True)
 
 
 def bench_train() -> None:
     """Full V1 GAN train step (D+G update, in-step mels, BASELINE config #4)
-    at batch 16 x 8192 samples; emits v1_train_step_ms with vs_baseline =
-    speedup over the round-1 implementation's 133.5 ms."""
+    at batch 16 x 8192 samples. Emits:
+    - v1_train_step_ms, vs_baseline = training throughput in x realtime
+      (seconds of audio consumed per wall second);
+    - v1_train_step_mfu_pct, vs_baseline = achieved TFLOP/s."""
     h = get_config("v1")
     # bf16 conv compute in BOTH the discriminators and the generator
-    # (params/losses stay f32): 133.5 -> 106.0 -> 99.4 ms measured on v5e
+    # (params/losses stay f32): 133.5 -> 106.0 -> 99.4 -> 80.9 ms on v5e
     h = type(h)(
         {**h, "disc_compute_dtype": "bfloat16", "gen_compute_dtype": "bfloat16"}
     )
@@ -71,16 +84,24 @@ def bench_train() -> None:
     float(metrics["loss_gen_all"])
     dt = (time.perf_counter() - t0) / iters
 
-    print(
-        json.dumps(
-            {
-                "metric": "v1_train_step_ms",
-                "value": round(dt * 1000, 1),
-                "unit": "ms_b16x8192",
-                "vs_baseline": round(R01_TRAIN_STEP_MS / (dt * 1000), 2),
-            }
-        )
-    )
+    audio_seconds = batch * seg / h["sampling_rate"]
+    emit("v1_train_step_ms", round(dt * 1000, 1), "ms_b16x8192",
+         round(audio_seconds / dt, 1))
+
+    # MFU from the compiled executable's own cost analysis (falls back to
+    # the AOT-derived 3.35 TFLOP/step from docs/OPERATIONS.md)
+    flops = 3.35e12
+    try:
+        analysis = step.lower(state, batch_d).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        flops = float(analysis.get("flops", flops)) or flops
+    except Exception:
+        pass
+    tflops_per_s = flops / dt / 1e12
+    emit("v1_train_step_mfu_pct",
+         round(100.0 * tflops_per_s / V5E_BF16_PEAK_TFLOPS, 1),
+         "pct_of_v5e_bf16_peak", round(tflops_per_s, 1))
 
 
 def bench_b1_serving() -> None:
@@ -111,27 +132,20 @@ def bench_b1_serving() -> None:
 
     hop = upsample_hop(h)
     rtf = frames * hop / h["sampling_rate"] / dt
-    print(
-        json.dumps(
-            {
-                "metric": "v1_b1_serving_rtf",
-                "value": round(rtf, 1),
-                "unit": "x_realtime_22k05",
-                "vs_baseline": round(rtf / BASELINE_RTF, 2),
-            }
-        )
-    )
+    emit("v1_b1_serving_rtf", round(rtf, 1), "x_realtime_22k05",
+         round(rtf / BASELINE_RTF, 2))
 
 
-def main() -> None:
-    h = get_config("v1")
-    batch, frames = 128, 256
+def bench_inference_rtf(version: str, batch: int = 128, frames: int = 256,
+                        iters: int = 20) -> float:
+    """Batched mel->wav throughput for one generator variant (folded weight
+    norm, bf16). Returns the RTF; the caller emits the JSON line."""
+    h = get_config(version)
     sr = h["sampling_rate"]
 
-    gen = Generator(h, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     mel = jax.random.normal(key, (batch, h["num_mels"], frames), jnp.float32) * 2.0 - 5.0
-    params = gen.init(key, mel)["params"]
+    params = Generator(h, dtype=jnp.bfloat16).init(key, mel)["params"]
     folded_params = fold_weight_norm(params)
     gen_folded = Generator(h, folded=True, dtype=jnp.bfloat16)
 
@@ -145,7 +159,6 @@ def main() -> None:
     acc = step(folded_params, mel, acc)
     float(acc)  # compile + warm
 
-    iters = 20
     acc = jnp.zeros(())
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -154,23 +167,17 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / iters
 
     hop = upsample_hop(h)
-    total_samples = batch * frames * hop
-    audio_seconds = total_samples / sr
-    rtf = audio_seconds / dt
-
-    print(
-        json.dumps(
-            {
-                "metric": "v1_mel_to_wav_rtf_per_chip",
-                "value": round(rtf, 1),
-                "unit": "x_realtime_22k05",
-                "vs_baseline": round(rtf / BASELINE_RTF, 2),
-            }
-        )
-    )
+    return batch * frames * hop / sr / dt
 
 
 if __name__ == "__main__":
     bench_train()
     bench_b1_serving()
-    main()  # headline inference RTF stays the LAST line for the driver parser
+    for version in ("v2", "v3"):
+        rtf = bench_inference_rtf(version)
+        emit(f"{version}_mel_to_wav_rtf", round(rtf, 1), "x_realtime_22k05_b128",
+             round(rtf / BASELINE_RTF, 2))
+    # headline V1 inference RTF stays the LAST line for the driver parser
+    rtf = bench_inference_rtf("v1")
+    emit("v1_mel_to_wav_rtf_per_chip", round(rtf, 1), "x_realtime_22k05",
+         round(rtf / BASELINE_RTF, 2))

@@ -23,6 +23,7 @@ from typing import Any
 import jax
 import numpy as np
 from flax import serialization
+from jax.sharding import Mesh
 
 from hifigan_tpu.callbacks import (
     BestCheckpointCallback,
@@ -119,13 +120,44 @@ def summarize_params(name: str, variables: Any) -> str:
 # ---------------------------------------------------------------------------
 
 
+def resolve_mesh(config: dict, mesh="auto"):
+    """Data-parallel mesh policy for the distillation trainer.
+
+    ``mesh='auto'`` builds a ('data','model') mesh over ALL devices (model=1)
+    when more than one device is visible AND the train batch divides over
+    them; a too-small batch (the production config trains at batch 3) falls
+    back to single-device rather than silently padding. Pass a Mesh to force
+    one, or None to disable."""
+    if mesh is None or isinstance(mesh, Mesh):
+        return mesh
+    n = len(jax.devices())
+    if n <= 1:
+        return None
+    batch = config["loops"]["train"]["batch_size"]
+    if batch % n != 0:
+        print(
+            f"distill: {n} devices visible but train batch {batch} does not "
+            f"divide; running single-device (set loops.train.batch_size to a "
+            f"multiple of {n} to enable data parallelism)"
+        )
+        return None
+    from hifigan_tpu.parallel.mesh import create_mesh
+
+    return create_mesh(model=1)
+
+
 def initialize(config: dict, datasets: dict, logs_base: str = DEFAULT_LOGS_BASE,
-               cache_model_configs: bool = True, writer=None):
+               cache_model_configs: bool = True, writer=None, mesh="auto"):
     """config + {loop: dataset} -> (trainer, loop) ready to run.
 
     Datasets must expose `label_options_groups` / `label_weights_groups`
-    and a `batches()` iterator (MultilabelWaveDataset does)."""
+    and a `batches()` iterator (MultilabelWaveDataset does).
+
+    ``mesh``: 'auto' (default — data-parallel over all devices when the
+    batch divides, see resolve_mesh), an explicit jax.sharding.Mesh, or
+    None for single-device."""
     log_dir = experiment_log_dir(config, logs_base)
+    mesh = resolve_mesh(config, mesh)
 
     train_ds = datasets["train"]
     example = train_ds.label_options_groups
@@ -167,23 +199,33 @@ def initialize(config: dict, datasets: dict, logs_base: str = DEFAULT_LOGS_BASE,
     ]
     loop = TrainLoop(
         state=state,
-        step_fn=trainer.make_train_step(donate=False),
+        step_fn=trainer.make_train_step(mesh=mesh, donate=False),
         log_dir=log_dir,
         callbacks=callbacks,
         writer=writer,
         save_state=save_distill_state,
         load_state=load_distill_state,
     )
+    loop.mesh = mesh  # train() shards host batches over it (None = 1 device)
     return models, trainer, loop
 
 
 def train(config: dict, datasets: dict, logs_base: str = DEFAULT_LOGS_BASE,
-          max_steps: int = 1_000_000, writer=None, rng_seed: int = 0):
+          max_steps: int = 1_000_000, writer=None, rng_seed: int = 0,
+          mesh="auto"):
     """Run the full distillation training loop with validation."""
-    models, trainer, loop = initialize(config, datasets, logs_base, writer=writer)
+    models, trainer, loop = initialize(config, datasets, logs_base, writer=writer,
+                                       mesh=mesh)
     eval_step = trainer.make_eval_step()
     val_interval = config["learning"]["accumulated_grad_batches"] * 20
     batch_size = config["loops"]["train"]["batch_size"]
+
+    if loop.mesh is not None:
+        from hifigan_tpu.parallel.mesh import shard_batch
+
+        place = lambda b: shard_batch(b, loop.mesh)  # noqa: E731
+    else:
+        place = lambda b: b  # noqa: E731
 
     rng = jax.random.PRNGKey(rng_seed)
 
@@ -191,7 +233,7 @@ def train(config: dict, datasets: dict, logs_base: str = DEFAULT_LOGS_BASE,
     # re-runs the sanity check manually, global_sync_callback.py:64-71)
     if loop.global_step == 0 and "validation" in datasets and config.get("visualize", 1):
         for vb in datasets["validation"].batches(batch_size, shuffle=False):
-            vb = {k: vb[k] for k in ("audio", "time_labels")}
+            vb = place({k: vb[k] for k in ("audio", "time_labels")})
             rng, sub = jax.random.split(rng)
             vlosses, vextra = eval_step(loop.state, vb, sub)
             loop.fire("on_validation_batch_end", vlosses, jax.device_get(vextra))
@@ -202,7 +244,7 @@ def train(config: dict, datasets: dict, logs_base: str = DEFAULT_LOGS_BASE,
     epoch = 0
     while loop.global_step < max_steps and not loop.stop_requested:
         for batch in datasets["train"].batches(batch_size, seed=rng_seed + epoch):
-            batch = {k: batch[k] for k in ("audio", "time_labels")}
+            batch = place({k: batch[k] for k in ("audio", "time_labels")})
             rng, sub = jax.random.split(rng)
             loop.fire("on_step_start")
             loop.state, losses = loop.step_fn(loop.state, batch, sub)
@@ -210,7 +252,7 @@ def train(config: dict, datasets: dict, logs_base: str = DEFAULT_LOGS_BASE,
             step_count = loop.global_step
             if step_count % val_interval == 0 and "validation" in datasets:
                 for vb in datasets["validation"].batches(batch_size, shuffle=False):
-                    vb = {k: vb[k] for k in ("audio", "time_labels")}
+                    vb = place({k: vb[k] for k in ("audio", "time_labels")})
                     rng, sub = jax.random.split(rng)
                     vlosses, vextra = eval_step(loop.state, vb, sub)
                     loop.fire("on_validation_batch_end", vlosses, jax.device_get(vextra))

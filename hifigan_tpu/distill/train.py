@@ -403,6 +403,24 @@ class DistillTrainer:
     # ------------------------------------------------------------------
 
     def make_train_step(self, mesh: Mesh | None = None, donate: bool | None = None):
+        """Build the jitted distillation step; with ``mesh``, a data-parallel
+        step over the mesh's ``'data'`` axis.
+
+        Sharding layout (measured + reasoned, SURVEY §2.6):
+
+        - batch leaves shard over ``'data'`` (leading batch axis);
+        - the train state — variables, frozen copies, and ALL six optimizer
+          groups — is REPLICATED. At production scale the whole state is
+          ~0.4 GB (26.4M params x amsgrad mu/nu/vmax), a few % of one chip's
+          HBM, so sharding it (ZeRO-style over 'data', or whole groups to
+          devices) would buy nothing while costing an all-gather in every
+          forward; group-to-device sharding additionally load-imbalances
+          (the generator group dominates). Replication leaves exactly ONE
+          collective per step: the gradient psum over 'data' that GSPMD
+          inserts at the loss boundary. The batch-mixing rolls
+          (tensor_ops.mix) become collective-permutes over the sharded
+          batch axis — also GSPMD-inserted, also over ICI.
+        """
         # donate=None: HIFIGAN_TPU_NO_DONATE override, then dev-tunnel
         # autodetect (donated outputs can't be fetched through the axon
         # tunnel), then donate-by-default (docs/OPERATIONS.md)

@@ -95,3 +95,66 @@ def test_tensor_parallel_train_step():
     )
     state2, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss_gen_all"]))
+
+
+def test_distill_data_parallel_loss_parity():
+    """Distillation DP (SURVEY §2.6): one train step on the 8-device virtual
+    'data' mesh must produce the same losses and updated params as the
+    single-device step — replicated state, batch sharded over 'data',
+    gradient psum + batch-mixing collective-permutes inserted by GSPMD."""
+    from test_distill import _distill_batch, tiny_distill_config
+
+    from hifigan_tpu.distill.model import DistillModels
+    from hifigan_tpu.distill.train import DistillTrainer
+    from hifigan_tpu.parallel.mesh import shard_batch
+
+    config, labels, weights = tiny_distill_config()
+    config["loops"]["train"]["batch_size"] = 8
+    config["loops"]["train"]["mix_size"] = 8
+    config["learning"]["accumulated_grad_batches"] = 1  # params move in step 1
+    models = DistillModels(config, labels, weights, sampling_rate=config["sampling_rate"])
+    trainer = DistillTrainer(models, config)
+    seg = config["loops"]["train"]["segment_length"]
+    state = trainer.create_state(jax.random.PRNGKey(0), seg)
+    batch = _distill_batch(config, models, batch_size=8)
+    rng = jax.random.PRNGKey(1)
+
+    single_step = trainer.make_train_step(donate=False)
+    ref_state, ref_losses = single_step(state, batch, rng)
+
+    mesh = create_mesh(model=1)
+    assert mesh.shape["data"] == 8
+    dp_step = trainer.make_train_step(mesh=mesh, donate=False)
+    sharded = shard_batch(batch, mesh)
+    # the batch really is distributed: one shard per device
+    assert len(sharded["audio"].sharding.device_set) == 8
+    dp_state, dp_losses = dp_step(state, sharded, rng)
+
+    np.testing.assert_allclose(
+        float(dp_losses["total"]), float(ref_losses["total"]), rtol=2e-5
+    )
+    for group in ("generator", "discriminator", "hunters", "sniffers"):
+        np.testing.assert_allclose(
+            float(dp_losses[group]["total"]), float(ref_losses[group]["total"]), rtol=2e-5
+        )
+    # post-update params identical (accumulate=1 -> the optimizer ran)
+    ref_leaves = jax.tree_util.tree_leaves(ref_state.variables["encoder"]["params"])
+    dp_leaves = jax.tree_util.tree_leaves(dp_state.variables["encoder"]["params"])
+    p0 = jax.tree_util.tree_leaves(state.variables["encoder"]["params"])
+    assert not np.allclose(np.asarray(ref_leaves[0]), np.asarray(p0[0]))
+    for r, d in zip(ref_leaves, dp_leaves):
+        np.testing.assert_allclose(np.asarray(d), np.asarray(r), atol=1e-5, rtol=1e-4)
+
+
+def test_distill_resolve_mesh_policy():
+    """resolve_mesh: auto-DP only when the train batch divides the device
+    count; explicit None and Mesh pass through."""
+    from hifigan_tpu.distill.main import resolve_mesh
+
+    cfg = {"loops": {"train": {"batch_size": 8}}}
+    mesh = resolve_mesh(cfg, "auto")
+    assert mesh is not None and mesh.shape["data"] == 8
+    assert resolve_mesh(cfg, None) is None
+    assert resolve_mesh(cfg, mesh) is mesh
+    # batch 3 (the production config) does not divide 8 -> single-device
+    assert resolve_mesh({"loops": {"train": {"batch_size": 3}}}, "auto") is None
