@@ -107,6 +107,11 @@ class ConfigurableModule(nn.Module):
     # whole-graph vmapped form better. Keep 'vmap' unless a new measurement
     # says otherwise.
     ensemble_impl: str = "vmap"
+    # 1-D conv backend for 'conv'/'conv_rech' nodes. 'auto' = the fused
+    # Pallas tap-loop kernel (ops/pallas/msd_conv.py) on TPU, XLA elsewhere;
+    # 'pallas' / 'pallas_interpret' (tests) / 'xla' force. Nodes combining
+    # stride>1 with dilation>1 (none in the shipped configs) stay on XLA.
+    conv_impl: str = "auto"
     # Internal (vmapped-ensemble support): also return the tagged-feature
     # side channel as a {"{i}|{tags!r}": value} dict so it can cross an
     # nn.vmap boundary (string tags live in the treedef, values are arrays).
@@ -205,6 +210,7 @@ class ConfigurableModule(nn.Module):
             config=member_cfg,
             mel_sampling_rate_override=self.mel_sampling_rate_override,
             update_spectral=self.update_spectral,
+            conv_impl=self.conv_impl,
             return_feats=True,
             name=f"{path}_ens",
         )
@@ -222,6 +228,18 @@ class ConfigurableModule(nn.Module):
         means = jax.tree_util.tree_map(lambda s: jnp.mean(s, axis=0), stacked)
         variances = jax.tree_util.tree_map(lambda s: jnp.var(s, axis=0, ddof=1), stacked)
         return {"mean": means, "variance": variances}, feats
+
+    def _conv_backend(self, stride: int, dilation: int) -> tuple[bool, bool]:
+        """(use_fused_pallas, interpret) for a 1-D conv node."""
+        if stride > 1 and dilation > 1:
+            return False, False  # not supported by the fused op (unused)
+        if self.conv_impl == "pallas":
+            return True, False
+        if self.conv_impl == "pallas_interpret":
+            return True, True
+        # 'auto' resolves to XLA for now: per-conv pallas measured slower at
+        # production batch (fold/transpose glue; docs/OPERATIONS.md)
+        return False, False
 
     # -- node dispatch -----------------------------------------------------
 
@@ -246,6 +264,7 @@ class ConfigurableModule(nn.Module):
         # ---- convolutions ----
         if name == "conv":
             chin, chout, k, s, d, g, init, norm = _conv_params(*p)
+            fused, interp = self._conv_backend(s, d)
             y = NormConv1d(
                 features=chout,
                 kernel_size=k,
@@ -255,6 +274,8 @@ class ConfigurableModule(nn.Module):
                 padding=dsl_padding(k, s, d),
                 norm=norm,
                 init_std=init,
+                fused_impl="pallas_msd" if fused else None,
+                fused_interpret=interp,
                 name=f"{path}_conv",
             )(x, self.update_spectral)
             return y, feats
@@ -267,6 +288,7 @@ class ConfigurableModule(nn.Module):
                 p[3] = int(p[1]) // math.gcd(int(p[0]), int(p[1]))
             chin, chout, k, s, d, g, init, norm = _conv_params(*p)
             conv_out = s * chin
+            fused, interp = self._conv_backend(s, d)
             y = NormConv1d(
                 features=conv_out,
                 kernel_size=k,
@@ -276,6 +298,8 @@ class ConfigurableModule(nn.Module):
                 padding=dsl_padding(k, s, d),
                 norm=norm,
                 init_std=init,
+                fused_impl="pallas_msd" if fused else None,
+                fused_interpret=interp,
                 name=f"{path}_convrech",
             )(x, self.update_spectral)
             b, t, c = y.shape

@@ -93,12 +93,20 @@ class DiscriminatorS(nn.Module):
     width: int = 128  # base width; reference stack is 128/128/256/512/1024...
     precision: Any = None
     dtype: Any = None
+    # conv backend: 'xla' (NormConv1d's lowering incl. block-dense g<=4),
+    # 'pallas' (ops/pallas/msd_conv.py fused conv+lrelu tap-loop kernels),
+    # or 'auto'. MEASURED (v5e, B16x8192 bf16, real+fake pair): per-conv
+    # pallas fwd 15.9 ms vs XLA 12.8, fwd+bwd 40.7 vs 36.9 — the per-layer
+    # fold/transpose glue eats the kernel win, so 'auto' resolves to XLA
+    # for now (numerics match; see /tmp-era notes in docs/OPERATIONS.md).
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(
         self, x: jax.Array, update_spectral: bool = False
     ) -> tuple[jax.Array, list[jax.Array]]:
         norm = "spectral" if self.use_spectral_norm else "weight"
+        pallas = self.conv_impl == "pallas"  # 'auto' -> XLA (measured faster)
         b = x.shape[0]
         x = x[..., None]  # (B, T, 1)
         # (features, kernel, stride, groups, padding) — ref src/models.py:195-203
@@ -123,9 +131,12 @@ class DiscriminatorS(nn.Module):
                 norm=norm,
                 precision=self.precision,
                 dtype=self.dtype,
+                fused_impl="pallas_msd" if pallas else None,
+                fused_slope=LRELU_SLOPE if pallas else 1.0,
                 name=f"convs_{i}",
             )(x, update_spectral)
-            x = leaky_relu(x, LRELU_SLOPE)
+            if not pallas:
+                x = leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
         x = NormConv1d(
             features=1,
@@ -134,6 +145,7 @@ class DiscriminatorS(nn.Module):
             norm=norm,
             precision=self.precision,
             dtype=self.dtype,
+            fused_impl="pallas_msd" if pallas else None,
             name="conv_post",
         )(x, update_spectral)
         fmap.append(x)
@@ -193,6 +205,7 @@ class MultiScaleDiscriminator(nn.Module):
     precision: Any = None
     dtype: Any = None
     fused: bool = False  # see MultiPeriodDiscriminator.fused
+    conv_impl: str = "auto"  # see DiscriminatorS.conv_impl
 
     @nn.compact
     def __call__(
@@ -213,6 +226,7 @@ class MultiScaleDiscriminator(nn.Module):
                 width=self.width,
                 precision=self.precision,
                 dtype=self.dtype,
+                conv_impl=self.conv_impl,
                 name=f"discriminators_{i}",
             )
             if self.fused:

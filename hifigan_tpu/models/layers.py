@@ -146,6 +146,12 @@ class NormConv1d(_NormConvBase):
     # 'auto': densify g<=4 on accelerators; 'native'/'block_dense' force.
     # Exact semantics either way (off-block weights are zeros).
     groups_impl: str = "auto"
+    # 'pallas_msd': run the conv (and the following leaky-relu, fused_slope)
+    # as ONE fused Pallas tap-loop kernel (ops/pallas/msd_conv.py) — skips
+    # XLA's per-conv lowering floor on the MSD stack. dilation must be 1.
+    fused_impl: str | None = None
+    fused_slope: float = 1.0  # 1.0 = no activation
+    fused_interpret: bool = False  # run the Pallas kernel interpreted (tests)
 
     @nn.compact
     def __call__(self, x: jax.Array, update_spectral: bool = False) -> jax.Array:
@@ -164,6 +170,15 @@ class NormConv1d(_NormConvBase):
             else None
         )
         x, kernel, bias = self._cast(x, kernel, bias)
+        if self.fused_impl == "pallas_msd":
+            from hifigan_tpu.ops.pallas.msd_conv import msd_conv1d_lrelu
+
+            return msd_conv1d_lrelu(
+                x, kernel, bias,
+                stride=self.stride, padding=self.padding, dilation=self.dilation,
+                groups=self.groups, slope=self.fused_slope,
+                interpret=self.fused_interpret,
+            )
         if (
             self.time_block > 1
             and self.stride == 1

@@ -89,6 +89,9 @@ def build_discriminators(h):
         width=h.get("msd_width", 128), num_scales=h.get("msd_num_scales", 3),
         dtype=dtype,
         fused=fused,
+        # 'pallas' = fused Pallas conv+lrelu kernels (msd_conv.py); 'auto'
+        # currently resolves to XLA (measured faster end-to-end at B16x8192)
+        conv_impl=h.get("msd_conv_impl", "auto"),
     )
     return mpd, msd
 
