@@ -94,19 +94,24 @@ class DiscriminatorS(nn.Module):
     precision: Any = None
     dtype: Any = None
     # conv backend: 'xla' (NormConv1d's lowering incl. block-dense g<=4),
-    # 'pallas' (ops/pallas/msd_conv.py fused conv+lrelu tap-loop kernels),
-    # or 'auto'. MEASURED (v5e, B16x8192 bf16, real+fake pair): per-conv
-    # pallas fwd 15.9 ms vs XLA 12.8, fwd+bwd 40.7 vs 36.9 — the per-layer
-    # fold/transpose glue eats the kernel win, so 'auto' resolves to XLA
-    # for now (numerics match; see /tmp-era notes in docs/OPERATIONS.md).
+    # 'pallas' (ops/pallas/msd_conv.py per-LAYER fused conv+lrelu kernels),
+    # 'fused_stack' (ops/pallas/conv_stack.py: the WHOLE 7-layer stack +
+    # conv_post in 1-2 Pallas kernels, activations VMEM-resident, fused
+    # custom-VJP backward), or 'auto'. MEASURED (v5e, B16x8192 bf16,
+    # real+fake pair, all-leaf grad sums): XLA fwd 12.9 ms / fwd+bwd 37.4;
+    # per-conv pallas fwd 15.9 / fwd+bwd 40.7 (the per-layer fold glue eats
+    # the kernel win); fused_stack fwd 11.6 / fwd+bwd 34.4 (kernels run at
+    # ~100 TFLOP/s; the residual gap to peak is the group-densification
+    # FLOP pad, see conv_stack.py). 'auto' resolves to fused_stack on
+    # accelerators when the geometry allows, XLA otherwise/on CPU.
     conv_impl: str = "auto"
+    conv_interpret: bool = False  # interpret the fused-stack kernels (tests)
 
     @nn.compact
     def __call__(
         self, x: jax.Array, update_spectral: bool = False
     ) -> tuple[jax.Array, list[jax.Array]]:
         norm = "spectral" if self.use_spectral_norm else "weight"
-        pallas = self.conv_impl == "pallas"  # 'auto' -> XLA (measured faster)
         b = x.shape[0]
         x = x[..., None]  # (B, T, 1)
         # (features, kernel, stride, groups, padding) — ref src/models.py:195-203
@@ -120,6 +125,18 @@ class DiscriminatorS(nn.Module):
             (w * 8, 41, 1, 16, 20),
             (w * 8, 5, 1, 1, 2),
         ]
+        impl = self.conv_impl
+        if impl == "auto":
+            # fused_stack wins on accelerators (measured above); the Mosaic
+            # kernels need a TPU backend and 128-aligned stack width
+            impl = (
+                "fused_stack"
+                if jax.default_backend() != "cpu" and self.width % 128 == 0
+                else "xla"
+            )
+        if impl == "fused_stack":
+            return self._fused_stack(x, specs, norm, update_spectral, b)
+        pallas = impl == "pallas"
         fmap = []
         for i, (ch, k, s, g, p) in enumerate(specs):
             x = NormConv1d(
@@ -150,6 +167,45 @@ class DiscriminatorS(nn.Module):
         )(x, update_spectral)
         fmap.append(x)
         return x.reshape(b, -1), fmap
+
+    def _fused_stack(self, x, specs, norm, update_spectral, b):
+        """Whole-stack path: conv_0 in XLA (1->width: sub-lane input), then
+        layers 1..6 + conv_post as fused Pallas conv-stack kernels."""
+        from hifigan_tpu.ops.pallas.conv_stack import LayerSpec, fused_conv_stack
+
+        assert self.width % 128 == 0, "fused_stack needs width % 128 == 0"
+        ch0, k0, _, _, p0 = specs[0]
+        h = NormConv1d(
+            features=ch0, kernel_size=k0, padding=p0, norm=norm,
+            precision=self.precision, dtype=self.dtype, name="convs_0",
+        )(x, update_spectral)
+        h = leaky_relu(h, LRELU_SLOPE)
+        fmap = [h]
+        kernels, biases, lspecs = [], [], []
+        c_in = ch0
+        for i, (ch, k, s, g, p) in enumerate(specs[1:], start=1):
+            kb = NormConv1d(
+                features=ch, kernel_size=k, stride=s, groups=g, padding=p,
+                norm=norm, precision=self.precision, dtype=self.dtype,
+                weights_only=True, name=f"convs_{i}",
+            )(jnp.zeros((1, 1, c_in), h.dtype), update_spectral)
+            kernels.append(kb[0])
+            biases.append(kb[1])
+            lspecs.append(LayerSpec(ch, k, s, g, p, p, LRELU_SLOPE))
+            c_in = ch
+        kb = NormConv1d(
+            features=1, kernel_size=3, padding=1, norm=norm,
+            precision=self.precision, dtype=self.dtype, weights_only=True,
+            name="conv_post",
+        )(jnp.zeros((1, 1, c_in), h.dtype), update_spectral)
+        kernels.append(kb[0])
+        biases.append(kb[1])
+        lspecs.append(LayerSpec(1, 3, 1, 1, 1, 1, 1.0))
+        ys = fused_conv_stack(
+            h, kernels, biases, lspecs, interpret=self.conv_interpret
+        )
+        fmap.extend(ys)
+        return ys[-1].reshape(b, -1), fmap
 
 
 class MultiPeriodDiscriminator(nn.Module):
@@ -206,6 +262,7 @@ class MultiScaleDiscriminator(nn.Module):
     dtype: Any = None
     fused: bool = False  # see MultiPeriodDiscriminator.fused
     conv_impl: str = "auto"  # see DiscriminatorS.conv_impl
+    conv_interpret: bool = False
 
     @nn.compact
     def __call__(
@@ -227,6 +284,7 @@ class MultiScaleDiscriminator(nn.Module):
                 precision=self.precision,
                 dtype=self.dtype,
                 conv_impl=self.conv_impl,
+                conv_interpret=self.conv_interpret,
                 name=f"discriminators_{i}",
             )
             if self.fused:

@@ -152,6 +152,11 @@ class NormConv1d(_NormConvBase):
     fused_impl: str | None = None
     fused_slope: float = 1.0  # 1.0 = no activation
     fused_interpret: bool = False  # run the Pallas kernel interpreted (tests)
+    # weights_only: skip the conv and return the effective (kernel, bias)
+    # pair (post-norm, cast) — used by whole-stack fused kernels
+    # (ops/pallas/conv_stack.py) that consume many layers' weights at once.
+    # x then only supplies the input channel count and compute dtype.
+    weights_only: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, update_spectral: bool = False) -> jax.Array:
@@ -170,6 +175,8 @@ class NormConv1d(_NormConvBase):
             else None
         )
         x, kernel, bias = self._cast(x, kernel, bias)
+        if self.weights_only:
+            return kernel, bias
         if self.fused_impl == "pallas_msd":
             from hifigan_tpu.ops.pallas.msd_conv import msd_conv1d_lrelu
 

@@ -1,0 +1,851 @@
+"""Whole-stack fused Pallas conv1d chains (an MSD scale in 1-2 kernels).
+
+Why: the MSD (reference src/models.py:191-217) is the vocoder train step's
+sink. A per-op xplane trace of MSD fwd+bwd at B16x8192 bf16 shows 35.3 ms of
+REAL device time, 30.1 ms of it in 138 separate convolution fusions running
+at ~91 GB/s effective (~11% of v5e HBM peak) — XLA's grouped-conv lowering
+tiles the tiny per-group features (8-64 << the 128 lanes) terribly, and every
+conv round-trips HBM. Fusing a whole DiscriminatorS stack into one Pallas
+kernel keeps every intermediate activation VMEM-resident and turns each conv
+into full-height MXU tap dots.
+
+Design (per kernel invocation = one "segment" of consecutive layers):
+
+- **Zoned activation layout.** Each level's activation lives in a VMEM
+  scratch of ``rows x C`` with the E batch elements of a grid step laid out
+  at a fixed zone pitch Z: elem e's t valid rows sit at
+  ``LEAD + e*Z + G + [0, t)``; everything else (lead-in, inter-elem guards,
+  tail) is zeros. Guards double as conv padding, so EVERY conv in the chain
+  — strided or not, for all E elements at once — is a tap loop of
+  full-height MXU dots ``acc[0:rows'] += xf[st0+q : st0+q+rows'] @ Wq``:
+  one dot per (phase, tap, group-block), no per-element loop.
+- **Stride via lane folding.** A stride-s layer reads its input through a
+  free reshape ``(rows, C) -> (rows/s, s*C)`` (requires C >= 128 — Mosaic
+  relayout constraint, probed); phase p of tap k is a contiguous lane slice
+  at ``p*C``. Zone pitches divide by the stride chain, keeping the fold
+  phase of every (elem, tap) pair static.
+- **Groups as block-dense lane blocks.** Per-group features are grown to
+  MXU-worthy sizes by densifying `gpb` groups per block (exact:
+  off-diagonal zeros), `gpb` the smallest power-of-two that pushes a block
+  side to 128 lanes — the measured sweet spot between FLOP blowup and lane
+  waste (docs/OPERATIONS.md grouped-conv experiments).
+- **Small-T tail batching.** Once t_out drops, per-element dots starve the
+  MXU pipeline, so late layers run in a second kernel with E > 1 elements
+  per grid step — the zoned layout turns E small convs into one tall dot.
+- **Custom VJP, fused both ways.** The backward runs the same zoned chains
+  top-down: transposed-conv accumulation into a folded f32 scratch with the
+  SAME static slice table, leaky-relu masking from the saved post-activation
+  maps (the slope preserves sign, so no pre-activations are stored),
+  in-kernel weight-grad dots (accumulated across the batch grid) and bias
+  row-reductions. Weight grads of huge dense tail layers (the 1024->1024 k5
+  layer: 21 MB of f32 accumulator) instead use a handful of XLA tap einsums
+  on cotangents the kernel exports.
+
+The op consumes effective (post weight-norm/spectral-norm) kernels; the
+pack transforms are plain differentiable jnp ops OUTSIDE the custom_vjp, so
+norm parameterisations autodiff through unchanged.
+
+Validated against the XLA conv chain in interpreter mode
+(tests/test_pallas_conv_stack.py: fwd + input/weight/bias grads for all MSD
+scale geometries) and on hardware by train-step parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, m: int) -> int:
+    return _cdiv(a, m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerSpec:
+    """One conv1d (+ optional leaky-relu) layer of a fused stack."""
+
+    c_out: int
+    kernel: int
+    stride: int = 1
+    groups: int = 1
+    pad_l: int = 0
+    pad_r: int = 0
+    slope: float = 1.0  # leaky-relu slope applied after the conv; 1.0 = none
+
+
+# max f32 VMEM a single layer's in-kernel weight-grad accumulator may take;
+# bigger layers (the dense tails) export their cotangent for XLA tap einsums
+_DW_KERNEL_BYTES = 12 * 1024 * 1024
+
+
+@dataclasses.dataclass
+class _LayerPlan:
+    spec: LayerSpec
+    c_in: int
+    t_in: int
+    t_out: int
+    s: int
+    gpb: int
+    nb: int
+    cb_in: int
+    cb_out: int
+    tq: int  # folded tap-loop trip count
+    st0: int  # base folded-row slice start
+    kmap: tuple  # ((p, q, k) ...) valid tap placements
+    rows_in: int  # rows of the input activation level (unfolded)
+    rows_out: int
+    lead_out: int
+    g_out: int
+    z_out: int
+    dw_in_kernel: bool
+
+    @property
+    def wq_shape(self) -> tuple[int, ...]:
+        # canonical per-tap layout — independent of the segment plan's lead
+        # geometry, so forward segments and backward chunks share one packing
+        return (self.spec.kernel, self.nb, self.cb_in, self.cb_out)
+
+
+@dataclasses.dataclass
+class _SegmentPlan:
+    layers: list[_LayerPlan]
+    e: int  # batch elements per grid step
+    t_in: int
+    c_in: int
+    rows_in: int
+    lead_in: int
+    g_in: int
+    z_in: int
+
+
+def _choose_gpb(groups: int, ci_g: int, co_g: int) -> int:
+    """Smallest power-of-two group block reaching 128 lanes on a side."""
+    gpb = 1
+    while gpb < groups and ci_g * gpb < 128 and co_g * gpb < 128:
+        gpb *= 2
+    while groups % gpb:
+        gpb //= 2
+    return max(gpb, 1)
+
+
+def _plan_segment(
+    specs: Sequence[LayerSpec], t_in: int, c_in: int, e: int
+) -> _SegmentPlan:
+    """Static geometry for one fused segment (zones, folds, slice table)."""
+    n = len(specs)
+    t = [t_in]
+    cs = [c_in]
+    for sp in specs:
+        t_o = (t[-1] + sp.pad_l + sp.pad_r - sp.kernel) // sp.stride + 1
+        assert t_o >= 1, (t[-1], sp)
+        t.append(t_o)
+        cs.append(sp.c_out)
+    # ---- zone pitches: Z_l = Z_0 / prod(strides), every level 8-aligned ----
+    prods = [1]
+    for sp in specs:
+        prods.append(prods[-1] * sp.stride)
+    g_off = [specs[l].pad_l if l < n else 0 for l in range(n + 1)]
+    z0 = 8 * prods[-1]
+    for l in range(n + 1):
+        need = g_off[l] + t[l] + (specs[l].pad_r if l < n else 0)
+        z0 = max(z0, _round_up(need * prods[l], 8 * prods[-1]))
+    z = [z0 // prods[l] for l in range(n + 1)]
+    # ---- leads: the base slice start st0 must be >= 0 at every layer ----
+    lead = [0] * (n + 1)
+    for _ in range(n + 2):
+        ok = True
+        for l in range(n):
+            sp = specs[l]
+            o = lead[l] + g_off[l] - sp.pad_l
+            nxt = o // sp.stride - g_off[l + 1]
+            if nxt < 0:
+                lead[0] += (-nxt) * prods[l + 1]
+                ok = False
+                break
+            lead[l + 1] = nxt
+        if ok:
+            break
+    else:  # pragma: no cover
+        raise AssertionError("lead planning did not converge")
+    # ---- rows per level, back to front (layer l's acc spans level l+1) ----
+    rows = [0] * (n + 1)
+    rows[n] = _round_up(lead[n] + e * z[n], 8)
+    for l in range(n - 1, -1, -1):
+        sp = specs[l]
+        s = sp.stride
+        o = lead[l] + g_off[l] - sp.pad_l
+        max_start = (o + sp.kernel - 1) // s - (lead[l + 1] + g_off[l + 1])
+        reach = (max_start + rows[l + 1]) * s
+        align = 8 * s // math.gcd(8, s)
+        rows[l] = _round_up(max(lead[l] + e * z[l], reach), align)
+
+    layers: list[_LayerPlan] = []
+    for l in range(n):
+        sp = specs[l]
+        s = sp.stride
+        g = sp.groups
+        ci_g = cs[l] // g
+        co_g = sp.c_out // g
+        gpb = _choose_gpb(g, ci_g, co_g)
+        o = lead[l] + g_off[l] - sp.pad_l
+        st0 = o // s - (lead[l + 1] + g_off[l + 1])
+        assert st0 >= 0, (l, st0)
+        q0 = o // s
+        tq = (o + sp.kernel - 1) // s - q0 + 1
+        kmap = tuple(
+            ((o + k) % s, (o + k) // s - q0, k) for k in range(sp.kernel)
+        )
+        lp = _LayerPlan(
+            spec=sp, c_in=cs[l], t_in=t[l], t_out=t[l + 1], s=s,
+            gpb=gpb, nb=g // gpb, cb_in=ci_g * gpb, cb_out=co_g * gpb,
+            tq=tq, st0=st0, kmap=kmap, rows_in=rows[l], rows_out=rows[l + 1],
+            lead_out=lead[l + 1], g_out=g_off[l + 1], z_out=z[l + 1],
+            dw_in_kernel=True,
+        )
+        lp.dw_in_kernel = 4 * int(np.prod(lp.wq_shape)) <= _DW_KERNEL_BYTES
+        if s > 1:
+            assert cs[l] >= 128, (
+                f"stride-{s} layer {l} needs >=128 input channels for the "
+                f"in-kernel fold (got {cs[l]})"
+            )
+        layers.append(lp)
+    return _SegmentPlan(
+        layers=layers, e=e, t_in=t_in, c_in=c_in, rows_in=rows[0],
+        lead_in=lead[0], g_in=g_off[0], z_in=z[0],
+    )
+
+
+def _valid_row_mask(rows: int, lead: int, g: int, z: int, t: int, e: int):
+    """(rows, 1) f32 mask selecting the e valid data regions."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    m = jnp.zeros((rows, 1), jnp.float32)
+    for i in range(e):
+        a = lead + i * z + g
+        m = m + jnp.where((r >= a) & (r < a + t), 1.0, 0.0)
+    return m
+
+
+def _tap_loop(lp: _LayerPlan, xf_ref, w_ref, body_fn):
+    """Run body_fn(k, block, q, lane0, co0, xsl, w) over valid taps/blocks.
+
+    Statically unrolled over the kmap: Mosaic requires row offsets of VMEM
+    vector loads/stores to be provably aligned, which a fori_loop index is
+    not — and the static form also skips the (p, q) cells whose weight
+    block is all-zeros (s*tq - K cells per layer). xf_ref is the (folded
+    when s>1) input level ref; slices are full-height
+    ([st0+q : st0+q+rows_out]) so every element is covered by one dot.
+    """
+    c_in, s = lp.c_in, lp.s
+    for p, q, k in lp.kmap:
+        for b in range(lp.nb):
+            lane0 = (p * c_in if s > 1 else 0) + b * lp.cb_in
+            co0 = b * lp.cb_out
+            xsl = xf_ref[
+                pl.ds(lp.st0 + q, lp.rows_out), lane0 : lane0 + lp.cb_in
+            ]
+            w = w_ref[k, b]
+            body_fn(k, b, q, lane0, co0, xsl, w)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(plan: _SegmentPlan, refs):
+    n = len(plan.layers)
+    x_ref = refs[0]
+    w_refs = refs[1 : 1 + n]
+    b_refs = refs[1 + n : 1 + 2 * n]
+    y_refs = refs[1 + 2 * n : 1 + 3 * n]
+    scratch = list(refs[1 + 3 * n :])
+    # scratch order: lvl0 plain; xf_0 (if fold); per layer 1..n-1 an input
+    # ref (folded iff that layer strides); per layer an f32 acc
+    lvl0 = scratch.pop(0)
+    in_refs = []
+    for l, lp in enumerate(plan.layers):
+        if l == 0:
+            in_refs.append(scratch.pop(0) if lp.s > 1 else lvl0)
+        else:
+            in_refs.append(scratch.pop(0))
+    acc_refs = scratch
+
+    e, t0 = plan.e, plan.t_in
+    lvl0[...] = jnp.zeros_like(lvl0)
+    for i in range(e):
+        a = plan.lead_in + i * plan.z_in + plan.g_in
+        lvl0[a : a + t0, :] = x_ref[i]
+    lp0 = plan.layers[0]
+    if lp0.s > 1:
+        in_refs[0][...] = lvl0[...].reshape(
+            lp0.rows_in // lp0.s, lp0.s * lp0.c_in
+        )
+
+    for l, lp in enumerate(plan.layers):
+        acc = acc_refs[l]
+        acc[...] = jnp.broadcast_to(b_refs[l][...], (lp.rows_out, lp.spec.c_out))
+
+        def dot_body(k, b, q, lane0, co0, xsl, w, acc=acc, lp=lp):
+            acc[:, co0 : co0 + lp.cb_out] += jnp.dot(
+                xsl, w, preferred_element_type=jnp.float32
+            )
+
+        _tap_loop(lp, in_refs[l], w_refs[l], dot_body)
+        z = acc[...]
+        if lp.spec.slope != 1.0:
+            z = jnp.maximum(z, 0.0) + lp.spec.slope * jnp.minimum(z, 0.0)
+        z = z * _valid_row_mask(
+            lp.rows_out, lp.lead_out, lp.g_out, lp.z_out, lp.t_out, e
+        )
+        zb = z.astype(y_refs[l].dtype)
+        for i in range(e):
+            a = lp.lead_out + i * lp.z_out + lp.g_out
+            y_refs[l][i] = zb[a : a + lp.t_out, :]
+        if l + 1 < n:
+            nxt = plan.layers[l + 1]
+            if nxt.s > 1:
+                in_refs[l + 1][...] = zb.reshape(
+                    nxt.rows_in // nxt.s, nxt.s * nxt.c_in
+                )
+            else:
+                in_refs[l + 1][...] = zb
+
+
+def _fwd_pallas(plan: _SegmentPlan, x, wqs, biases, *, interpret: bool):
+    n = len(plan.layers)
+    n_elems = x.shape[0]
+    grid = (n_elems // plan.e,)
+    dt = x.dtype
+    in_specs = [
+        pl.BlockSpec((plan.e, plan.t_in, plan.c_in), lambda gi: (gi, 0, 0))
+    ]
+    in_specs += [
+        pl.BlockSpec(lp.wq_shape, lambda gi: (0,) * 4) for lp in plan.layers
+    ]
+    in_specs += [
+        pl.BlockSpec((1, lp.spec.c_out), lambda gi: (0, 0))
+        for lp in plan.layers
+    ]
+    out_specs = [
+        pl.BlockSpec((plan.e, lp.t_out, lp.spec.c_out), lambda gi: (gi, 0, 0))
+        for lp in plan.layers
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_elems, lp.t_out, lp.spec.c_out), dt)
+        for lp in plan.layers
+    ]
+    scratch = [pltpu.VMEM((plan.rows_in, plan.c_in), dt)]
+    for l, lp in enumerate(plan.layers):
+        if lp.s > 1:
+            scratch.append(pltpu.VMEM((lp.rows_in // lp.s, lp.s * lp.c_in), dt))
+        elif l > 0:
+            scratch.append(pltpu.VMEM((lp.rows_in, lp.c_in), dt))
+    scratch += [
+        pltpu.VMEM((lp.rows_out, lp.spec.c_out), jnp.float32)
+        for lp in plan.layers
+    ]
+    return pl.pallas_call(
+        lambda *refs: _fwd_kernel(plan, refs),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, *wqs, *biases)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(plan: _SegmentPlan, refs):
+    """Top-down zoned sweep: dZ (pre-act cotangent), transposed conv down,
+    in-kernel dW/db accumulated across grid steps."""
+    n = len(plan.layers)
+    e = plan.e
+    i = 0
+    x_ref = refs[i]; i += 1
+    y_refs = refs[i : i + n]; i += n
+    dy_refs = refs[i : i + n]; i += n
+    w_refs = refs[i : i + n]; i += n
+    dx_ref = refs[i]; i += 1
+    dw_refs = refs[i : i + n]; i += n
+    db_refs = refs[i : i + n]; i += n
+    dz_out_refs = refs[i : i + n]; i += n
+    scratch = list(refs[i:])
+    lvl0 = scratch.pop(0)
+    in_refs = []
+    for l, lp in enumerate(plan.layers):
+        if l == 0:
+            in_refs.append(scratch.pop(0) if lp.s > 1 else lvl0)
+        else:
+            in_refs.append(scratch.pop(0))
+    da_refs = scratch[:n]  # layer l's input-cotangent, folded iff s_l > 1
+    dz_refs = scratch[n : 2 * n]  # (rows_out, c_out) f32
+
+    gi = pl.program_id(0)
+
+    # ---- rebuild zoned forward input levels (same as fwd) ----
+    lvl0[...] = jnp.zeros_like(lvl0)
+    for j in range(e):
+        a = plan.lead_in + j * plan.z_in + plan.g_in
+        lvl0[a : a + plan.t_in, :] = x_ref[j]
+    lp0 = plan.layers[0]
+    if lp0.s > 1:
+        in_refs[0][...] = lvl0[...].reshape(
+            lp0.rows_in // lp0.s, lp0.s * lp0.c_in
+        )
+    for l in range(1, n):
+        lp_prev, lp = plan.layers[l - 1], plan.layers[l]
+        tgt = in_refs[l]
+        tgt[...] = jnp.zeros_like(tgt)
+        if lp.s > 1:
+            # scatter y into the folded layout: fold maps valid unfolded rows
+            # [a, a+t) to folded rows [a//s ...] with static per-row phases;
+            # write per element via an unfolded staging view is not available,
+            # so stage through dz scratch? Instead: write rows in stride-s
+            # row groups. Simpler and exact: build unfolded in the (reused)
+            # dz scratch of the PREVIOUS layer (same shape), then fold.
+            stage = dz_refs[l - 1]  # (rows_in, c_in) f32 — correct shape
+            stage[...] = jnp.zeros_like(stage)
+            for j in range(e):
+                a = lp_prev.lead_out + j * lp_prev.z_out + lp_prev.g_out
+                stage[a : a + lp_prev.t_out, :] = (
+                    y_refs[l - 1][j].astype(jnp.float32)
+                )
+            tgt[...] = (
+                stage[...]
+                .reshape(lp.rows_in // lp.s, lp.s * lp.c_in)
+                .astype(tgt.dtype)
+            )
+        else:
+            for j in range(e):
+                a = lp_prev.lead_out + j * lp_prev.z_out + lp_prev.g_out
+                tgt[a : a + lp_prev.t_out, :] = y_refs[l - 1][j]
+
+    @pl.when(gi == 0)
+    def _init():
+        for l in range(n):
+            dw_refs[l][...] = jnp.zeros_like(dw_refs[l])
+            db_refs[l][...] = jnp.zeros_like(db_refs[l])
+
+    for l in range(n - 1, -1, -1):
+        lp = plan.layers[l]
+        dz = dz_refs[l]
+        if l == n - 1:
+            dz[...] = jnp.zeros_like(dz)
+        else:
+            nxt = plan.layers[l + 1]
+            if nxt.s > 1:
+                dz[...] = da_refs[l + 1][...].reshape(lp.rows_out, lp.spec.c_out)
+            else:
+                dz[...] = da_refs[l + 1][...]
+        for j in range(e):
+            a = lp.lead_out + j * lp.z_out + lp.g_out
+            dz[a : a + lp.t_out, :] += dy_refs[l][j].astype(jnp.float32)
+            if lp.spec.slope != 1.0:
+                yv = y_refs[l][j].astype(jnp.float32)
+                dz[a : a + lp.t_out, :] *= jnp.where(
+                    yv >= 0.0, 1.0, lp.spec.slope
+                )
+        dz[...] = dz[...] * _valid_row_mask(
+            lp.rows_out, lp.lead_out, lp.g_out, lp.z_out, lp.t_out, e
+        )
+        if not lp.dw_in_kernel:
+            for j in range(e):
+                a = lp.lead_out + j * lp.z_out + lp.g_out
+                dz_out_refs[l][j] = dz[a : a + lp.t_out, :].astype(
+                    dz_out_refs[l].dtype
+                )
+        db_refs[l][...] += jnp.sum(dz[...], axis=0, keepdims=True)
+
+        da = da_refs[l]
+        da[...] = jnp.zeros_like(da)
+        dzv = dz[...].astype(x_ref.dtype)
+
+        def bwd_body(k, b, q, lane0, co0, xsl, w, lp=lp, l=l, dzv=dzv, da=da):
+            dzb = dzv[:, co0 : co0 + lp.cb_out]
+            if lp.dw_in_kernel:
+                dw = jax.lax.dot_general(
+                    xsl, dzb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dw_refs[l][k, b] += dw
+            # dzb @ w^T without a materialised transpose: contract c_out dims
+            contrib = jax.lax.dot_general(
+                dzb, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            da[pl.ds(lp.st0 + q, lp.rows_out), lane0 : lane0 + lp.cb_in] += (
+                contrib
+            )
+
+        _tap_loop(lp, in_refs[l], w_refs[l], bwd_body)
+
+    d0 = da_refs[0][...]
+    if plan.layers[0].s > 1:
+        d0 = d0.reshape(plan.layers[0].rows_in, plan.c_in)
+    for j in range(e):
+        a = plan.lead_in + j * plan.z_in + plan.g_in
+        dx_ref[j] = d0[a : a + plan.t_in, :].astype(dx_ref.dtype)
+
+
+def _bwd_pallas(plan: _SegmentPlan, x, ys, dys, wqs, *, interpret: bool):
+    n = len(plan.layers)
+    n_elems = x.shape[0]
+    grid = (n_elems // plan.e,)
+    dt = x.dtype
+
+    in_specs = [
+        pl.BlockSpec((plan.e, plan.t_in, plan.c_in), lambda gi: (gi, 0, 0))
+    ]
+    for lp in plan.layers:  # y
+        in_specs.append(
+            pl.BlockSpec((plan.e, lp.t_out, lp.spec.c_out),
+                         lambda gi: (gi, 0, 0))
+        )
+    for lp in plan.layers:  # dy
+        in_specs.append(
+            pl.BlockSpec((plan.e, lp.t_out, lp.spec.c_out),
+                         lambda gi: (gi, 0, 0))
+        )
+    for lp in plan.layers:  # wq
+        in_specs.append(pl.BlockSpec(lp.wq_shape, lambda gi: (0,) * 4))
+
+    out_specs = [
+        pl.BlockSpec((plan.e, plan.t_in, plan.c_in), lambda gi: (gi, 0, 0))
+    ]
+    out_shape = [jax.ShapeDtypeStruct((n_elems, plan.t_in, plan.c_in), dt)]
+    for lp in plan.layers:  # dwq accumulators (dummy-small when XLA dW)
+        shp = lp.wq_shape if lp.dw_in_kernel else (1, 1, 8, 128)
+        out_specs.append(pl.BlockSpec(shp, lambda gi: (0,) * len(shp)))
+        out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
+    for lp in plan.layers:  # dbias
+        out_specs.append(pl.BlockSpec((1, lp.spec.c_out), lambda gi: (0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((1, lp.spec.c_out), jnp.float32))
+    for lp in plan.layers:  # dz exports (dummy-small when dW in kernel)
+        if lp.dw_in_kernel:
+            out_specs.append(pl.BlockSpec((plan.e, 8, 128),
+                                          lambda gi: (gi, 0, 0)))
+            out_shape.append(
+                jax.ShapeDtypeStruct((n_elems, 8, 128), dt)
+            )
+        else:
+            out_specs.append(
+                pl.BlockSpec((plan.e, lp.t_out, lp.spec.c_out),
+                             lambda gi: (gi, 0, 0))
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct((n_elems, lp.t_out, lp.spec.c_out), dt)
+            )
+
+    scratch = [pltpu.VMEM((plan.rows_in, plan.c_in), dt)]
+    for l, lp in enumerate(plan.layers):
+        if lp.s > 1:
+            scratch.append(pltpu.VMEM((lp.rows_in // lp.s, lp.s * lp.c_in), dt))
+        elif l > 0:
+            scratch.append(pltpu.VMEM((lp.rows_in, lp.c_in), dt))
+    for lp in plan.layers:  # da (folded iff the layer strides)
+        if lp.s > 1:
+            scratch.append(
+                pltpu.VMEM((lp.rows_in // lp.s, lp.s * lp.c_in), jnp.float32)
+            )
+        else:
+            scratch.append(pltpu.VMEM((lp.rows_in, lp.c_in), jnp.float32))
+    for lp in plan.layers:  # dz
+        scratch.append(pltpu.VMEM((lp.rows_out, lp.spec.c_out), jnp.float32))
+
+    outs = pl.pallas_call(
+        lambda *refs: _bwd_kernel(plan, refs),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, *ys, *dys, *wqs)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# segment splitting + public differentiable op
+# ---------------------------------------------------------------------------
+
+
+def _split_segments(
+    specs: Sequence[LayerSpec], t_in: int, n_elems: int, small_t: int,
+    e_small: int,
+) -> list[tuple[int, int, int]]:
+    """[(start, end, E)]: wide layers per-element, small-T tail batched."""
+    ts = [t_in]
+    for sp in specs:
+        ts.append((ts[-1] + sp.pad_l + sp.pad_r - sp.kernel) // sp.stride + 1)
+    cut = len(specs)
+    for l in range(len(specs)):
+        if ts[l + 1] <= small_t and l > 0:
+            cut = l
+            break
+    e2 = math.gcd(e_small, n_elems)
+    if cut == 0:
+        return [(0, len(specs), e2)]
+    if cut == len(specs):
+        return [(0, len(specs), 1)]
+    return [(0, cut, 1), (cut, len(specs), e2)]
+
+
+@functools.lru_cache(maxsize=None)
+def _plans(
+    specs: tuple[LayerSpec, ...], t_in: int, c_in: int, n_elems: int,
+    small_t: int, e_small: int,
+) -> tuple:
+    out = []
+    t, c = t_in, c_in
+    for a, b, e in _split_segments(specs, t_in, n_elems, small_t, e_small):
+        plan = _plan_segment(specs[a:b], t, c, e)
+        out.append(plan)
+        for lp in plan.layers:
+            t, c = lp.t_out, lp.spec.c_out
+    return tuple(out)
+
+
+def _pack_weight(kernel: jax.Array, lp: _LayerPlan) -> jax.Array:
+    """(K, ci_g, c_out) grouped kernel -> (K, nb, cb_in, cb_out) per-tap
+    block-dense table (gpb groups embedded block-diagonally, zeros off the
+    diagonal). Canonical in the raw tap index k — independent of the segment
+    plan's lead geometry, so forward segments and backward chunks agree."""
+    K = lp.spec.kernel
+    g, gpb, nb = lp.spec.groups, lp.gpb, lp.nb
+    ci_g, co_g = lp.c_in // g, lp.spec.c_out // g
+    # (K, ci_g, c_out) -> (K, nb, gpb, ci_g, co_g)
+    kb = kernel.reshape(K, ci_g, nb, gpb, co_g).transpose(0, 2, 3, 1, 4)
+    # embed the gpb groups block-diagonally: (K, nb, cb_in, cb_out)
+    eye = jnp.eye(gpb, dtype=kernel.dtype)
+    return jnp.einsum("kngio,gh->kngiho", kb, eye).reshape(
+        K, nb, lp.cb_in, lp.cb_out
+    )
+
+
+def _xla_dw(x_in: jax.Array, dz: jax.Array, lp: _LayerPlan) -> jax.Array:
+    """wq-layout weight grad via XLA tap einsums (big tail layers whose f32
+    accumulator would blow the kernel's VMEM; dense or grouped)."""
+    s, g = lp.s, lp.spec.groups
+    e, _, c_in = x_in.shape
+    ci_g, co_g = c_in // g, lp.spec.c_out // g
+    xp = jnp.pad(x_in, ((0, 0), (lp.spec.pad_l, lp.spec.pad_r), (0, 0)))
+    dzg = dz.astype(jnp.float32).reshape(e, lp.t_out, g, co_g)
+    taps = []
+    for k in range(lp.spec.kernel):
+        xk = jax.lax.slice(
+            xp, (0, k, 0), (e, k + (lp.t_out - 1) * s + 1, c_in), (1, s, 1)
+        )
+        xg = xk.astype(jnp.float32).reshape(e, lp.t_out, g, ci_g)
+        taps.append(
+            jnp.einsum(
+                "etgi,etgo->gio", xg, dzg,
+                preferred_element_type=jnp.float32,
+            )
+        )
+    # (K, g, ci_g, co_g) -> lax feature-group layout (K, ci_g, c_out)
+    dW = jnp.stack(taps).transpose(0, 2, 1, 3).reshape(
+        lp.spec.kernel, ci_g, lp.spec.c_out
+    )
+    return _pack_weight(dW, lp)
+
+
+# VMEM budget one backward-chunk kernel may statically require; the chip has
+# 128 MB but the Mosaic register allocator spills into VMEM too, so leave
+# headroom for that + double-buffered IO windows
+_BWD_VMEM_BUDGET = 60 * 1024 * 1024
+
+
+def _bwd_vmem_bytes(plan: _SegmentPlan, itemsize: int) -> int:
+    """Static VMEM estimate of one backward chunk (IO windows double-buffer)."""
+    b = itemsize * plan.rows_in * plan.c_in  # lvl0 scratch
+    b += 4 * itemsize * plan.e * plan.t_in * plan.c_in  # x in + dx out, 2x buf
+    for lp in plan.layers:
+        wq = int(np.prod(lp.wq_shape))
+        b += itemsize * wq
+        if lp.dw_in_kernel:
+            b += 4 * wq  # f32 accumulator held across the grid
+        else:
+            b += 2 * itemsize * plan.e * lp.t_out * lp.spec.c_out  # dz export
+        b += 4 * itemsize * plan.e * lp.t_out * lp.spec.c_out  # y + dy windows
+        b += itemsize * lp.rows_in * lp.c_in  # in_ref scratch
+        b += 4 * lp.rows_in * lp.c_in  # da f32
+        b += 4 * lp.rows_out * lp.spec.c_out  # dz f32
+    return b
+
+
+def _bwd_chunks(
+    plans: tuple, specs: tuple[LayerSpec, ...], itemsize: int
+) -> list[tuple[int, int, _SegmentPlan]]:
+    """Partition each forward segment's layers into backward chunks that fit
+    the VMEM budget: [(global_start, n_layers, chunk_plan)]. The forward
+    keeps maximal fusion; the backward (which holds wq + dW accumulators +
+    f32 da/dz scratch per layer) re-plans each chunk as its own segment —
+    chunk geometry is self-contained because a chunk's input is the previous
+    layer's saved activation."""
+    chunks = []
+    g0 = 0
+    for plan in plans:
+        lps = plan.layers
+        start = 0
+        while start < len(lps):
+            end = start + 1
+            best = _plan_segment(
+                tuple(lp.spec for lp in lps[start:end]),
+                lps[start].t_in, lps[start].c_in, plan.e,
+            )
+            while end < len(lps):
+                cand = _plan_segment(
+                    tuple(lp.spec for lp in lps[start : end + 1]),
+                    lps[start].t_in, lps[start].c_in, plan.e,
+                )
+                if _bwd_vmem_bytes(cand, itemsize) > _BWD_VMEM_BUDGET:
+                    break
+                best = cand
+                end += 1
+            chunks.append((g0 + start, end - start, best))
+            start = end
+        g0 += len(lps)
+    return chunks
+
+
+@functools.lru_cache(maxsize=None)
+def _get_stack_core(
+    specs: tuple[LayerSpec, ...], t_in: int, c_in: int, n_elems: int,
+    small_t: int, e_small: int, interpret: bool,
+):
+    plans = _plans(specs, t_in, c_in, n_elems, small_t, e_small)
+    all_lps = [lp for plan in plans for lp in plan.layers]
+    n = len(all_lps)
+    seg_starts = []
+    i = 0
+    for plan in plans:
+        seg_starts.append(i)
+        i += len(plan.layers)
+    bwd_chunks = _bwd_chunks(plans, specs, 2)
+
+    @jax.custom_vjp
+    def core(x, *wb):
+        wqs, biases = wb[:n], wb[n:]
+        ys = []
+        h = x
+        for si, plan in enumerate(plans):
+            i0, k = seg_starts[si], len(plan.layers)
+            seg_y = _fwd_pallas(
+                plan, h, wqs[i0 : i0 + k], biases[i0 : i0 + k],
+                interpret=interpret,
+            )
+            seg_y = list(seg_y) if isinstance(seg_y, (list, tuple)) else [seg_y]
+            ys.extend(seg_y)
+            h = seg_y[-1]
+        return tuple(ys)
+
+    def fwd(x, *wb):
+        ys = core(x, *wb)
+        return ys, (x, ys, wb[:n])
+
+    def bwd(res, dys):
+        x, ys, wqs = res
+        dwqs: list = [None] * n
+        dbs: list = [None] * n
+        upstream = None
+        for i0, k, plan in reversed(bwd_chunks):
+            chunk_x = x if i0 == 0 else ys[i0 - 1]
+            seg_ys = list(ys[i0 : i0 + k])
+            seg_dys = [jnp.asarray(d, x.dtype) for d in dys[i0 : i0 + k]]
+            if upstream is not None:
+                seg_dys[-1] = seg_dys[-1] + upstream
+            seg_wqs = list(wqs[i0 : i0 + k])
+            outs = _bwd_pallas(
+                plan, chunk_x, seg_ys, seg_dys, seg_wqs, interpret=interpret
+            )
+            upstream = outs[0]
+            seg_dwq = outs[1 : 1 + k]
+            seg_db = outs[1 + k : 1 + 2 * k]
+            seg_dz = outs[1 + 2 * k : 1 + 3 * k]
+            for j, lp in enumerate(plan.layers):
+                if lp.dw_in_kernel:
+                    dwqs[i0 + j] = seg_dwq[j].astype(seg_wqs[j].dtype)
+                else:
+                    xin = chunk_x if j == 0 else ys[i0 + j - 1]
+                    dwqs[i0 + j] = _xla_dw(xin, seg_dz[j], lp).astype(
+                        seg_wqs[j].dtype
+                    )
+                dbs[i0 + j] = seg_db[j].astype(jnp.float32)
+        return (upstream.astype(x.dtype), *dwqs, *dbs)
+
+    core.defvjp(fwd, bwd)
+    return core, plans, all_lps
+
+
+def fused_conv_stack(
+    x: jax.Array,
+    kernels: Sequence[jax.Array],
+    biases: Sequence[jax.Array | None],
+    specs: Sequence[LayerSpec],
+    *,
+    small_t: int = 256,
+    e_small: int = 4,
+    interpret: bool = False,
+) -> list[jax.Array]:
+    """Run a sequential conv1d(+leaky-relu) stack as 1-2 fused Pallas kernels.
+
+    x: (N, T, C0); kernels[l]: (K_l, C_in_l // groups_l, C_out_l) in lax
+    feature-group layout (= NormConv1d's); biases[l]: (C_out_l,) or None.
+    C0 and every intermediate c_out must be multiples of 128; the LAST
+    layer's c_out may be anything (internally lane-padded). Returns every
+    layer's post-activation feature map; the last entry is the stack output.
+    Differentiable (custom VJP, fused backward kernels — module docstring).
+    """
+    specs = list(specs)
+    n_elems, t_in, c_in = x.shape
+    kernels = list(kernels)
+    biases = list(biases)
+    last = specs[-1]
+    pad_out = 0
+    if last.c_out % 128:
+        pad_out = 128 - last.c_out % 128
+        specs[-1] = dataclasses.replace(last, c_out=last.c_out + pad_out)
+        kernels[-1] = jnp.pad(kernels[-1], ((0, 0), (0, 0), (0, pad_out)))
+        if biases[-1] is not None:
+            biases[-1] = jnp.pad(biases[-1], ((0, pad_out),))
+    t_specs = tuple(specs)
+    core, plans, all_lps = _get_stack_core(
+        t_specs, t_in, c_in, n_elems, small_t, e_small, bool(interpret)
+    )
+    wqs = []
+    bs = []
+    for l, lp in enumerate(all_lps):
+        wqs.append(_pack_weight(kernels[l].astype(x.dtype), lp))
+        b = biases[l]
+        if b is None:
+            b = jnp.zeros((lp.spec.c_out,), jnp.float32)
+        bs.append(b.astype(jnp.float32).reshape(1, -1))
+    ys = list(core(x, *wqs, *bs))
+    if pad_out:
+        ys[-1] = ys[-1][..., : last.c_out]
+    return ys
