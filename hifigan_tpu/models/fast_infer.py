@@ -10,7 +10,9 @@ XLA path is faster end-to-end (144 ms vs 160 ms with stage3 fused) — XLA's
 conv lowering amortises better with batch while the kernel's in-VMEM matmul
 chain plateaus at ~80 TF/s. The default inference path therefore stays pure
 XLA; this module is the measured alternative for small-batch / low-latency
-serving.
+serving: V1 B=1 x 256 mel frames runs at **1271x real time** (2.34 ms; all
+four MRF stages fused incl. the wide 256-ch stage-0, dot-form polyphase
+upsamplers — see make_fast_vocoder).
 
 Exactness: the fused stages match the flax MRF to float tolerance
 (tests/test_pallas_tail.py); end-to-end parity in tests/test_fast_infer.py.
@@ -35,8 +37,8 @@ from hifigan_tpu.ops.pallas.resblock_tail import (
 def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
                       tile_blocks: int = 512, interpret: bool = False,
                       min_fused_stage: int = 0, fold_post: bool = True,
-                      trans_method: str = "polyphase", fold_up: bool = False,
-                      max_fused_ch: int = 128):
+                      trans_method: str | None = None, fold_up: bool = False,
+                      max_fused_ch: int = 256, wide_split: str = "auto"):
     """(folded params, h) -> jittable fn(mel (B, M, T)) -> wav (B, 1, T*hop).
 
     The packed block kernels are baked in as constants (inference-only path;
@@ -48,27 +50,65 @@ def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
     MEASURED SLOWER on v5e at B=1 (507x vs 676x RT): the blocked transposed
     conv costs more in-kernel MACs + halo than the XLA polyphase upsampler
     it replaces — default off; don't redo. ``trans_method`` applies to the
-    XLA upsamplers; 'polyphase' wins at batch 1 on TPU (the lhs-dilated form
-    wastes (u-1)/u of its MACs on zeros). ``max_fused_ch`` gates which MRF
-    stages run in the fused Pallas kernel: 128 (default) also fuses the
-    128-channel stage with block=1 (no time folding) and measures **800x RT**
-    at B=1 (bf16, 256-frame mel) vs 675x with max_fused_ch=64 and 533x
-    plain-XLA-bf16 on v5e.
+    XLA upsamplers; default (None) resolves to 'polyphase_dot' on
+    accelerators — the conv-lowered polyphase form crawls at B=1 (the
+    512->256 upsampler alone: 0.39 ms at 2.7 TFLOP/s in the serving
+    profile), the dot form tiles on the MXU — and 'polyphase' on CPU (the
+    measured CPU winner, docs/OPERATIONS.md). ``max_fused_ch`` gates which
+    MRF stages run in the fused Pallas kernel: 256 (default) also fuses
+    V1's WIDE 256-channel stage-0 at block=1 (lanes = 256, resblock-split
+    to bound VMEM). MEASURED at B=1 (bf16, 256-frame mel, v5e): **1271x
+    RT** (2.34 ms) with stage-0 fused + dot upsamplers, vs 996x with the
+    conv-form upsamplers, 897x with pair-split stage-0, 803x with stage-0
+    left in XLA (max_fused_ch=128), 675x with max_fused_ch=64, and 533x
+    plain-XLA-bf16.
     """
+    if trans_method is None:
+        trans_method = (
+            "polyphase" if jax.default_backend() == "cpu" else "polyphase_dot"
+        )
     num_kernels = len(h["resblock_kernel_sizes"])
     stages = list(enumerate(zip(h["upsample_rates"], h["upsample_kernel_sizes"])))
     ch0 = h["upsample_initial_channel"]
 
     packs: dict[int, dict] = {}
+    splits: dict[int, str] = {}
     pre_packs: dict[int, dict] = {}
     for i, (u, k) in stages:
         ch = ch0 // (2 ** (i + 1))
-        if ch <= max_fused_ch and 128 % ch == 0 and i >= min_fused_stage:
-            block = 128 // ch
+        # narrow stages time-fold to 128 lanes (block = 128/ch); WIDE stages
+        # (ch a multiple of 128, e.g. V1 stage-0 at 256) run at block=1 with
+        # lanes = ch (multiple Mosaic lane tiles)
+        if ch <= max_fused_ch and i >= min_fused_stage and (
+            128 % ch == 0 or ch % 128 == 0
+        ):
+            block = max(128 // ch, 1)
             packs[i] = pack_generator_tail(h, folded_params, i, block=block)
+            # Bound per-call VMEM weight footprint. MEASURED (v5e, B=1 V1
+            # stage-0 at 256 ch): 'resblock' split (<=8.6 MB/call) 968x RT,
+            # monolithic 16.5 MB 964x (no OOM — whole-array VMEM operands
+            # are single-buffered; the >8 MB OOM gotcha applies to
+            # double-buffered windowed inputs), 'pair' split 897x (call
+            # overhead). Auto: resblock-split when the monolithic pack
+            # exceeds ~9 MB, pair-split only if a single resblock does.
+            wbytes = sum(
+                2 * cv["big"].size for rb in packs[i]["resblocks"] for cv in rb
+            )
+            rb_bytes = max(
+                sum(2 * cv["big"].size for cv in rb)
+                for rb in packs[i]["resblocks"]
+            )
+            limit = 9 * 1024 * 1024
+            if wide_split != "auto":
+                if wide_split != "none" and wbytes > limit:
+                    splits[i] = wide_split
+            elif wbytes > limit:
+                splits[i] = "pair" if rb_bytes > limit else "resblock"
             # the upsampler folds when in/out lane widths agree:
             # (block/u) * 2ch == block * ch  <=>  u == 2
-            if fold_up and block % u == 0 and (block // u) * 2 * ch == block * ch:
+            if fold_up and i not in splits and block % u == 0 and (
+                block // u
+            ) * 2 * ch == block * ch:
                 pre_packs[i] = prepare_upsample(
                     folded_params[f"ups_{i}"], u, (k - u) // 2, block
                 )
@@ -115,6 +155,7 @@ def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
             if i in packs:
                 x = fused_tail_stage(
                     x, packs[i], interpret=interpret, tile_blocks=tile_blocks,
+                    split_resblocks=splits.get(i, False),
                     post_pack=post_pack if i == last_stage else None,
                 )
             else:

@@ -150,15 +150,22 @@ def prepare_post(post_params: dict, block: int) -> dict:
 
 
 def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
-                     tile_blocks: int = 512, split_resblocks: bool = False,
+                     tile_blocks: int = 512,
+                     split_resblocks: bool | str = False,
                      post_pack: dict | None = None,
                      pre_pack: dict | None = None) -> jax.Array:
     """x: (B, T, C) -> mean of resblock outputs, same shape (the MRF stage).
 
-    ``split_resblocks=True`` runs one pallas call per resblock and averages
-    in XLA — 1/num_kernels the VMEM weight footprint per kernel (V1's k=11
-    stage packs ~5.7 MB of block kernels, which double-buffered can exhaust
-    VMEM in the monolithic form).
+    ``split_resblocks`` bounds per-kernel VMEM weight footprint (>~8 MB of
+    VMEM-resident inputs OOMs on v5e):
+    - ``'resblock'`` (or True): one pallas call per resblock, averaged in
+      XLA — 1/num_kernels the weight footprint (V1's k=11 64-ch stage packs
+      ~5.7 MB of block kernels).
+    - ``'pair'``: one call per RESIDUAL PAIR chained in XLA (each call
+      computes ``h + convchain(lrelu(h))`` for its pair) — 1/(num_kernels *
+      n_pairs) the footprint. This is what lets the WIDE 256-ch stage-0 fuse
+      at block=1 (lanes = C = 256, i.e. two lane tiles): its k=11 resblock
+      alone packs ~8.6 MB, each of its pairs only ~2.9 MB.
 
     ``post_pack`` (from :func:`prepare_post`) folds the generator tail —
     lrelu(0.01) -> conv_post -> tanh (reference src/models.py:112-114) —
@@ -171,14 +178,30 @@ def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
     blocked matmul chain — no XLA transposed conv, no HBM round trip of
     either the pre-upsample or post-upsample activation.
     """
-    if split_resblocks and len(packed["resblocks"]) > 1:
+    split = "resblock" if split_resblocks is True else (split_resblocks or "")
+    if split and len(packed["resblocks"]) * (
+        1 if split == "resblock" else len(packed["resblocks"][0])
+    ) > 1:
         assert post_pack is None, "post folding requires the monolithic form"
         assert pre_pack is None, "upsampler folding requires the monolithic form"
         n = len(packed["resblocks"])
+        ps = packed["pair_size"]
         acc = None
         for rb in packed["resblocks"]:
-            sub = {"resblocks": [rb], "block": packed["block"], "pair_size": packed["pair_size"]}
-            out = fused_tail_stage(x, sub, interpret=interpret, tile_blocks=tile_blocks)
+            if split == "pair" and len(rb) > ps:
+                h = x
+                for pi in range(len(rb) // ps):
+                    sub = {"resblocks": [rb[pi * ps : (pi + 1) * ps]],
+                           "block": packed["block"], "pair_size": ps}
+                    # single-pair call: h <- h + pair(h) (residual inside)
+                    h = fused_tail_stage(h, sub, interpret=interpret,
+                                         tile_blocks=tile_blocks)
+                out = h
+            else:
+                sub = {"resblocks": [rb], "block": packed["block"],
+                       "pair_size": ps}
+                out = fused_tail_stage(x, sub, interpret=interpret,
+                                       tile_blocks=tile_blocks)
             acc = out if acc is None else acc + out
         return acc / n
     block = packed["block"]

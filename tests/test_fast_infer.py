@@ -26,3 +26,25 @@ def test_fast_vocoder_matches_generator(version, fold_post):
     got = np.asarray(fast(mel))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("wide_split", ["pair", "resblock", "none"])
+def test_fast_vocoder_wide_stage0_split_modes(wide_split):
+    """V1's 256-ch stage-0 fuses at block=1 (lanes = C = 256); every VMEM
+    split granularity matches the reference generator, with the dot-form
+    polyphase upsamplers (the measured serving default on TPU)."""
+    h = get_config("v1")
+    mel = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 80, 16)).astype(np.float32) * 2 - 5
+    )
+    params = Generator(h).init(jax.random.PRNGKey(0), mel)["params"]
+    fp = fold_weight_norm(params)
+    ref = np.asarray(Generator(h, folded=True).apply({"params": fp}, mel))
+
+    fast = make_fast_vocoder(
+        h, fp, dtype=jnp.float32, tile_blocks=64, interpret=True,
+        wide_split=wide_split, trans_method="polyphase_dot",
+    )
+    got = np.asarray(fast(mel))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)

@@ -158,7 +158,7 @@ def test_conv_transpose1d_polyphase_matches_torch(rng, in_ch, out_ch, k, stride,
         stride=stride, padding=pad,
     ).numpy()
 
-    for method in ("polyphase", "dilated"):
+    for method in ("polyphase", "polyphase_dot", "dilated"):
         got = conv_transpose1d(
             jnp.asarray(x.transpose(0, 2, 1)),
             jnp.asarray(w.transpose(2, 0, 1)),
