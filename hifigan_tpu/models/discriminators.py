@@ -134,8 +134,10 @@ class DiscriminatorS(nn.Module):
                 if jax.default_backend() != "cpu" and self.width % 128 == 0
                 else "xla"
             )
-        if impl == "fused_stack":
-            return self._fused_stack(x, specs, norm, update_spectral, b)
+        if impl in ("fused_stack", "fused_zoned"):
+            return self._fused_stack(
+                x, specs, norm, update_spectral, b, zoned=impl == "fused_zoned"
+            )
         pallas = impl == "pallas"
         fmap = []
         for i, (ch, k, s, g, p) in enumerate(specs):
@@ -168,10 +170,28 @@ class DiscriminatorS(nn.Module):
         fmap.append(x)
         return x.reshape(b, -1), fmap
 
-    def _fused_stack(self, x, specs, norm, update_spectral, b):
+    def _fused_stack(self, x, specs, norm, update_spectral, b, zoned=False):
         """Whole-stack path: conv_0 in XLA (1->width: sub-lane input), then
-        layers 1..6 + conv_post as fused Pallas conv-stack kernels."""
-        from hifigan_tpu.ops.pallas.conv_stack import LayerSpec, fused_conv_stack
+        layers 1..6 + conv_post as fused Pallas conv-stack kernels.
+
+        ``zoned=True`` additionally runs the grouped layers (1..5) through
+        the group time-fold transform (conv_stack.zone_grouped_layer): each
+        group presents exactly 128 lanes with time folded in, so the kernels
+        run with NO group-densification FLOP pad (vs gpb 2-8x in the plain
+        fused_stack form). Chain layers share the zone layout; the fold /
+        unfold at chain boundaries are cheap XLA transposes. Zone-chain
+        fmaps are in zone layout — an exact permutation of the reference
+        layout (plus zeroed fold-padding lanes when the length does not
+        divide the fold, i.e. the odd-length scales), so the elementwise
+        feature-matching loss matches up to the mean's divisor counting
+        those <1% padding zeros."""
+        from hifigan_tpu.ops.pallas.conv_stack import (
+            LayerSpec,
+            fold_group_zones,
+            fused_conv_stack,
+            unfold_group_zones,
+            zone_grouped_layer,
+        )
 
         assert self.width % 128 == 0, "fused_stack needs width % 128 == 0"
         ch0, k0, _, _, p0 = specs[0]
@@ -181,7 +201,7 @@ class DiscriminatorS(nn.Module):
         )(x, update_spectral)
         h = leaky_relu(h, LRELU_SLOPE)
         fmap = [h]
-        kernels, biases, lspecs = [], [], []
+        layers = []  # (kernel, bias, c_in, ch, k, s, g, p, slope)
         c_in = ch0
         for i, (ch, k, s, g, p) in enumerate(specs[1:], start=1):
             kb = NormConv1d(
@@ -189,23 +209,69 @@ class DiscriminatorS(nn.Module):
                 norm=norm, precision=self.precision, dtype=self.dtype,
                 weights_only=True, name=f"convs_{i}",
             )(jnp.zeros((1, 1, c_in), h.dtype), update_spectral)
-            kernels.append(kb[0])
-            biases.append(kb[1])
-            lspecs.append(LayerSpec(ch, k, s, g, p, p, LRELU_SLOPE))
+            layers.append((kb[0], kb[1], c_in, ch, k, s, g, p, LRELU_SLOPE))
             c_in = ch
         kb = NormConv1d(
             features=1, kernel_size=3, padding=1, norm=norm,
             precision=self.precision, dtype=self.dtype, weights_only=True,
             name="conv_post",
         )(jnp.zeros((1, 1, c_in), h.dtype), update_spectral)
-        kernels.append(kb[0])
-        biases.append(kb[1])
-        lspecs.append(LayerSpec(1, 3, 1, 1, 1, 1, 1.0))
-        ys = fused_conv_stack(
-            h, kernels, biases, lspecs, interpret=self.conv_interpret
-        )
-        fmap.extend(ys)
-        return ys[-1].reshape(b, -1), fmap
+        layers.append((kb[0], kb[1], c_in, 1, 3, 1, 1, 1, 1.0))
+
+        # partition into runs: zone chains (stable grouped geometry; odd
+        # lengths — the scale-1/2 inputs are 4097/2049 under the reference
+        # AvgPool1d(4,2,pad 2) semantics — fold into partial rows that the
+        # kernel lane-masks exactly) vs standard fused-stack chains
+        runs = []  # (("zone", g) | ("std", None), [layer tuples])
+        for ent in layers:
+            _, _, ci, ch, k, s, g, p, _ = ent
+            ci_g, co_g = ci // g, ch // g
+            zonable = (
+                zoned and g > 1 and 128 % ci_g == 0 and 128 % co_g == 0
+                and ((128 // co_g) * s) % (128 // ci_g) == 0
+            )
+            kind = ("zone", g) if zonable else ("std", None)
+            if runs and runs[-1][0] == kind:
+                runs[-1][1].append(ent)
+            else:
+                runs.append((kind, [ent]))
+
+        out = h
+        for (kind, g), ents in runs:
+            t = out.shape[1]
+            if kind == "zone":
+                zks, zbs, zspecs = [], [], []
+                for kern, bias, ci, ch, k, s, gg, p, slope in ents:
+                    fi, fo = 128 // (ci // gg), 128 // (ch // gg)
+                    zk, zb, spec = zone_grouped_layer(
+                        kern, bias, s, p, fi, fo, gg, slope, t
+                    )
+                    zks.append(zk)
+                    zbs.append(zb)
+                    zspecs.append(spec)
+                    t = (t + 2 * p - k) // s + 1
+                f_entry = 128 // (ents[0][2] // g)
+                z = fold_group_zones(out, g, f_entry)
+                ys = fused_conv_stack(
+                    z, zks, zbs, zspecs, interpret=self.conv_interpret
+                )
+                fmap.extend(ys)
+                out = unfold_group_zones(
+                    ys[-1], g, 128 // (ents[-1][3] // g), t_out=t
+                )
+            else:
+                kerns = [e[0] for e in ents]
+                bs = [e[1] for e in ents]
+                sspecs = [
+                    LayerSpec(ch, k, s, gg, p, p, slope)
+                    for _, _, _, ch, k, s, gg, p, slope in ents
+                ]
+                ys = fused_conv_stack(
+                    out, kerns, bs, sspecs, interpret=self.conv_interpret
+                )
+                fmap.extend(ys)
+                out = ys[-1]
+        return out.reshape(b, -1), fmap
 
 
 class MultiPeriodDiscriminator(nn.Module):

@@ -83,6 +83,12 @@ class LayerSpec:
     pad_l: int = 0
     pad_r: int = 0
     slope: float = 1.0  # leaky-relu slope applied after the conv; 1.0 = none
+    # partial last row (group time-fold with a sample count that does not
+    # divide the fold): when lane_period > 0, the LAST valid output row of
+    # every element keeps only lanes with lane % lane_period < lane_valid;
+    # the rest are zeroed (they are fold padding, not real samples)
+    lane_period: int = 0
+    lane_valid: int = 0
 
 
 # max f32 VMEM a single layer's in-kernel weight-grad accumulator may take;
@@ -237,6 +243,27 @@ def _valid_row_mask(rows: int, lead: int, g: int, z: int, t: int, e: int):
     return m
 
 
+def _apply_valid_mask(vals, lp: _LayerPlan, e: int):
+    """Zero everything outside the valid zone rows; when the layer has a
+    partial last row (group time-fold, lane_period > 0), also zero that
+    row's fold-padding lanes."""
+    sp = lp.spec
+    partial = sp.lane_period > 0 and sp.lane_valid < sp.lane_period
+    rows, lead, g, z, t = lp.rows_out, lp.lead_out, lp.g_out, lp.z_out, lp.t_out
+    if not partial:
+        return vals * _valid_row_mask(rows, lead, g, z, t, e)
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    full = jnp.zeros((rows, 1), jnp.float32)
+    part = jnp.zeros((rows, 1), jnp.float32)
+    for i in range(e):
+        a = lead + i * z + g
+        full = full + jnp.where((r >= a) & (r < a + t - 1), 1.0, 0.0)
+        part = part + jnp.where(r == a + t - 1, 1.0, 0.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, sp.c_out), 1)
+    lmask = jnp.where(lane % sp.lane_period < sp.lane_valid, 1.0, 0.0)
+    return vals * full + vals * (part * lmask)
+
+
 def _tap_loop(lp: _LayerPlan, xf_ref, w_ref, body_fn):
     """Run body_fn(k, block, q, lane0, co0, xsl, w) over valid taps/blocks.
 
@@ -306,9 +333,7 @@ def _fwd_kernel(plan: _SegmentPlan, refs):
         z = acc[...]
         if lp.spec.slope != 1.0:
             z = jnp.maximum(z, 0.0) + lp.spec.slope * jnp.minimum(z, 0.0)
-        z = z * _valid_row_mask(
-            lp.rows_out, lp.lead_out, lp.g_out, lp.z_out, lp.t_out, e
-        )
+        z = _apply_valid_mask(z, lp, e)
         zb = z.astype(y_refs[l].dtype)
         for i in range(e):
             a = lp.lead_out + i * lp.z_out + lp.g_out
@@ -466,9 +491,7 @@ def _bwd_kernel(plan: _SegmentPlan, refs):
                 dz[a : a + lp.t_out, :] *= jnp.where(
                     yv >= 0.0, 1.0, lp.spec.slope
                 )
-        dz[...] = dz[...] * _valid_row_mask(
-            lp.rows_out, lp.lead_out, lp.g_out, lp.z_out, lp.t_out, e
-        )
+        dz[...] = _apply_valid_mask(dz[...], lp, e)
         if not lp.dw_in_kernel:
             for j in range(e):
                 a = lp.lead_out + j * lp.z_out + lp.g_out
@@ -602,6 +625,8 @@ def _split_segments(
     ts = [t_in]
     for sp in specs:
         ts.append((ts[-1] + sp.pad_l + sp.pad_r - sp.kernel) // sp.stride + 1)
+    if ts[1] <= small_t:  # already small at the first layer: one E-batched
+        return [(0, len(specs), math.gcd(e_small, n_elems))]  # segment
     cut = len(specs)
     for l in range(len(specs)):
         if ts[l + 1] <= small_t and l > 0:
@@ -849,3 +874,110 @@ def fused_conv_stack(
     if pad_out:
         ys[-1] = ys[-1][..., : last.c_out]
     return ys
+
+
+# ---------------------------------------------------------------------------
+# group time-fold transform: grouped conv chains WITHOUT densification pad
+# ---------------------------------------------------------------------------
+#
+# The block-dense group embedding above pads a grouped layer's FLOPs by
+# gpb (2-8x for the MSD's g=16 layers) to reach 128 lanes. For a CHAIN of
+# grouped convs with a stable group partition (every MSD g=16 layer maps
+# group j of its input to group j of its output, reference
+# src/models.py:197-201) there is an exact zero-pad formulation: fold TIME
+# into each group's lane span so every group presents f*ci = 128 lanes:
+#
+#   X[r, (gg*f + phi)*ci + i] = x[r*f + phi, gg*ci + i]
+#   Y[rho, (gg*f_out + psi)*co + o] = y[rho*f_out + psi, gg*co + o]
+#   => per group, Y[rho] = sum_q X[sigma*rho + q] @ Wz[gg][q],
+#      sigma = f_out*s/f_in (integer), with the BANDED row-space kernel
+#      Wz[gg][q][phi*ci + i, psi*co + o] = W[q*f_in + phi - psi*s + pad][
+#          i, gg*co + o]  (taps outside [0, K) are zero)
+#
+# i.e. an ordinary fused_conv_stack GROUPED layer with c = g*128 lanes,
+# kernel kk ~ K/f_in + f_out*s/f_in, stride sigma, and group blocks of
+# exactly 128x128 (gpb = 1, nb = g): full MXU contractions, no padded
+# FLOPs, and consecutive chain layers need NO relayout (layer l's output
+# zone layout is layer l+1's input zone layout when f_in[l+1] = f_out[l]).
+# The fold/unfold at chain entry/exit are cheap XLA transposes.
+
+
+def zone_grouped_layer(
+    kernel: jax.Array, bias: jax.Array | None, s: int, pad: int,
+    f_in: int, f_out: int, groups: int, slope: float, t_in: int,
+) -> tuple[jax.Array, jax.Array | None, LayerSpec]:
+    """Fold one grouped conv layer into the time-zone form.
+
+    kernel: (K, ci, g*co) lax feature-group layout (ci = per-group in
+    channels); returns (zkernel (kk, f_in*ci, g*f_out*co), zbias, spec) for
+    fused_conv_stack on the zone-layout activation (see module comment).
+    """
+    K, ci, gco = kernel.shape
+    g = groups
+    co = gco // g
+    assert (f_out * s) % f_in == 0, (f_in, f_out, s)
+    sigma = (f_out * s) // f_in
+    d_min, d_max = -pad, (f_out - 1) * s + K - 1 - pad
+    q_min, q_max = d_min // f_in, d_max // f_in
+    kk = q_max - q_min + 1
+    # non-divisible lengths fold into a PARTIAL last row: the trailing fold
+    # phases are zeros (== conv padding, so reads stay exact) and the
+    # layer's partial-output lanes are zeroed by the kernel's lane mask
+    rows_in = _cdiv(t_in, f_in)
+    t_out = (t_in + 2 * pad - K) // s + 1
+    rows_out = _cdiv(t_out, f_out)
+    rem_out = t_out % f_out
+    pad_l = -q_min
+    need = (rows_out - 1) * sigma + kk - pad_l - rows_in
+    pad_r = max(0, need)
+    assert need + sigma - 1 >= 0 and pad_r <= kk + sigma, (pad_l, need, kk)
+    # one gather builds the banded table: tap index per (q, phi, psi)
+    q_i, phi_i, psi_i = np.meshgrid(
+        np.arange(q_min, q_max + 1), np.arange(f_in), np.arange(f_out),
+        indexing="ij",
+    )
+    k_i = q_i * f_in + phi_i - psi_i * s + pad
+    valid = (k_i >= 0) & (k_i < K)
+    k_safe = np.where(valid, k_i, K)  # K -> the zero tap appended below
+    wp = jnp.concatenate([kernel, jnp.zeros((1, ci, gco), kernel.dtype)])
+    gathered = wp[jnp.asarray(k_safe.reshape(-1))]  # (kk*f_in*f_out, ci, g*co)
+    gathered = gathered.reshape(kk, f_in, f_out, ci, g, co)
+    zk = gathered.transpose(0, 1, 3, 4, 2, 5).reshape(
+        kk, f_in * ci, g * f_out * co
+    )
+    zb = None
+    if bias is not None:
+        zb = jnp.broadcast_to(
+            bias.reshape(g, 1, co), (g, f_out, co)
+        ).reshape(g * f_out * co)
+    spec = LayerSpec(
+        g * f_out * co, kk, sigma, g, pad_l, pad_r, slope,
+        lane_period=f_out * co if rem_out else 0,
+        lane_valid=rem_out * co if rem_out else 0,
+    )
+    return zk, zb, spec
+
+
+def fold_group_zones(x: jax.Array, g: int, f: int) -> jax.Array:
+    """(B, T, g*ci) group-major channels -> (B, ceil(T/f), g*f*ci) zone
+    layout; a non-divisible T zero-pads the last row's trailing phases
+    (they read as conv padding inside the chain)."""
+    b, t, c = x.shape
+    ci = c // g
+    rows = _cdiv(t, f)
+    if t % f:
+        x = jnp.pad(x, ((0, 0), (0, rows * f - t), (0, 0)))
+    z = x.reshape(b, rows, f, g, ci).transpose(0, 1, 3, 2, 4)
+    return z.reshape(b, rows, g * f * ci)
+
+
+def unfold_group_zones(
+    z: jax.Array, g: int, f: int, t_out: int | None = None
+) -> jax.Array:
+    """inverse for the OUTPUT layout: (B, R, g*f*co) -> (B, t_out, g*co)
+    (t_out defaults to R*f; pass the true length to drop fold padding)."""
+    b, r, lanes = z.shape
+    co = lanes // (g * f)
+    y = z.reshape(b, r, g, f, co).transpose(0, 1, 3, 2, 4)
+    y = y.reshape(b, r * f, g * co)
+    return y if t_out is None or t_out == r * f else y[:, :t_out, :]

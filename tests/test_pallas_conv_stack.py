@@ -203,3 +203,111 @@ def test_discriminator_s_fused_stack_parity():
                 np.asarray(flat_f[bkey]), np.asarray(a), rtol=3e-3, atol=3e-3,
                 err_msg=f"{'spectral' if spectral else 'weight'} {bkey}",
             )
+
+
+def test_zone_grouped_layer_matches_grouped_conv():
+    """The group time-fold transform is exact for every MSD geometry
+    (standalone, via XLA conv on the folded layout)."""
+    from hifigan_tpu.ops.pallas.conv_stack import (
+        fold_group_zones, unfold_group_zones, zone_grouped_layer)
+
+    rng = np.random.default_rng(0)
+    cases = [  # (T, g, ci_g, co_g, K, s, pad, f_in, f_out)
+        (256, 16, 8, 16, 41, 2, 20, 16, 8),
+        (128, 16, 16, 32, 41, 4, 20, 8, 4),
+        (64, 16, 64, 64, 41, 1, 20, 2, 2),
+        (64, 4, 32, 32, 41, 2, 20, 4, 4),
+    ]
+    for (T, g, ci, co, K, s, pad, fi, fo) in cases:
+        x = jnp.asarray(rng.standard_normal((2, T, g * ci)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((K, ci, g * co)) * 0.05, jnp.float32)
+        b = jnp.asarray(rng.standard_normal((g * co,)), jnp.float32)
+        want = jax.lax.conv_general_dilated(
+            x, w, (s,), [(pad, pad)], dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=g) + b
+        zk, zb, spec = zone_grouped_layer(w, b, s, pad, fi, fo, g, 1.0, T)
+        yz = jax.lax.conv_general_dilated(
+            fold_group_zones(x, g, fi), zk, (spec.stride,),
+            [(spec.pad_l, spec.pad_r)], dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=g) + zb
+        got = unfold_group_zones(yz, g, fo)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4,
+            err_msg=str((T, g, ci, co, K, s)))
+
+
+def test_discriminator_s_fused_zoned_parity():
+    """conv_impl='fused_zoned' (group time-fold chains, no densification
+    pad) matches the XLA path: loss values and every parameter grad. The
+    fmap layouts differ (zone permutation) but the elementwise fm-style
+    loss is layout-invariant."""
+    from hifigan_tpu.models.discriminators import DiscriminatorS
+
+    d_ref = DiscriminatorS()
+    d_zone = DiscriminatorS(conv_impl="fused_zoned", conv_interpret=True)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(5), (2, 512))
+    v = d_ref.init(jax.random.PRNGKey(0), x)
+    v2 = d_zone.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+
+    def loss(v, d):
+        logits, fmap = d.apply(v, x)
+        return jnp.sum(jnp.abs(logits)) + 0.1 * sum(
+            jnp.mean(jnp.abs(f)) for f in fmap
+        )
+
+    lr, gr = jax.value_and_grad(functools.partial(loss, d=d_ref))(v)
+    lf, gf = jax.value_and_grad(functools.partial(loss, d=d_zone))(v)
+    np.testing.assert_allclose(float(lf), float(lr), rtol=2e-4)
+    flat_f = dict(
+        (jax.tree_util.keystr(p), a)
+        for p, a in jax.tree_util.tree_leaves_with_path(gf)
+    )
+    for p, a in jax.tree_util.tree_leaves_with_path(gr):
+        key = jax.tree_util.keystr(p)
+        np.testing.assert_allclose(
+            np.asarray(flat_f[key]), np.asarray(a), rtol=3e-3, atol=3e-3,
+            err_msg=key,
+        )
+
+
+def test_discriminator_s_fused_zoned_odd_length():
+    """Odd input lengths (the real MSD scale-1/2 sizes are 4097/2049) zone
+    into partial rows that the kernel lane-masks: logits and logit-grads
+    match the XLA path exactly, and every zone fmap unfolds to the XLA
+    fmap."""
+    from hifigan_tpu.models.discriminators import DiscriminatorS
+    from hifigan_tpu.ops.pallas.conv_stack import unfold_group_zones
+
+    d_ref = DiscriminatorS()
+    d_zone = DiscriminatorS(conv_impl="fused_zoned", conv_interpret=True)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(6), (2, 257))
+    v = d_ref.init(jax.random.PRNGKey(0), x)
+
+    def logit_loss(v, d):
+        logits, fmap = d.apply(v, x)
+        return jnp.sum(jnp.abs(logits)), fmap
+
+    (lr, fm_r), gr = jax.value_and_grad(
+        functools.partial(logit_loss, d=d_ref), has_aux=True)(v)
+    (lf, fm_f), gf = jax.value_and_grad(
+        functools.partial(logit_loss, d=d_zone), has_aux=True)(v)
+    np.testing.assert_allclose(float(lf), float(lr), rtol=2e-4)
+    flat_f = dict(
+        (jax.tree_util.keystr(p), a)
+        for p, a in jax.tree_util.tree_leaves_with_path(gf)
+    )
+    for p, a in jax.tree_util.tree_leaves_with_path(gr):
+        key = jax.tree_util.keystr(p)
+        np.testing.assert_allclose(
+            np.asarray(flat_f[key]), np.asarray(a), rtol=3e-3, atol=3e-3,
+            err_msg=key,
+        )
+    # zone fmaps (indices 1..5) unfold+slice to the XLA fmaps
+    zone_geo = [(4, 4), (16, 8), (16, 4), (16, 2), (16, 2)]  # (g, f_out)
+    for j, (g, fo) in enumerate(zone_geo, start=1):
+        got = unfold_group_zones(fm_f[j], g, fo, t_out=fm_r[j].shape[1])
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(fm_r[j]), atol=2e-4, rtol=2e-3,
+            err_msg=f"fmap {j}",
+        )
