@@ -311,3 +311,40 @@ def test_discriminator_s_fused_zoned_odd_length():
             np.asarray(got), np.asarray(fm_r[j]), atol=2e-4, rtol=2e-3,
             err_msg=f"fmap {j}",
         )
+
+
+def test_backward_chunking_matches_monolithic(monkeypatch):
+    """Force a tiny backward VMEM budget so every layer becomes its own
+    backward chunk; grads must match the XLA reference exactly (the real
+    MSD geometry splits its backward this way on hardware)."""
+    import hifigan_tpu.ops.pallas.conv_stack as cs
+
+    monkeypatch.setattr(cs, "_BWD_VMEM_BUDGET", 1)
+    cs._get_stack_core.cache_clear()
+    cs._plans.cache_clear()
+    try:
+        specs = _msd_specs()[:4]
+        kernels, biases = _make_params(jax.random.PRNGKey(4), specs, 128)
+        x = jax.random.normal(jax.random.PRNGKey(11), (2, 256, 128))
+        weights = [0.5 + 0.1 * i for i in range(len(specs))]
+
+        def loss_fused(x, kernels, biases):
+            ys = fused_conv_stack(x, kernels, biases, specs, interpret=True)
+            return sum(w * jnp.sum(jnp.abs(y.astype(jnp.float32)))
+                       for w, y in zip(weights, ys))
+
+        def loss_ref(x, kernels, biases):
+            ys = _ref_chain(x, kernels, biases, specs)
+            return sum(w * jnp.sum(jnp.abs(y.astype(jnp.float32)))
+                       for w, y in zip(weights, ys))
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, kernels, biases)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, kernels, biases)
+        np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]),
+                                   rtol=5e-4, atol=5e-4, err_msg="dx")
+        for i, (a, b) in enumerate(zip(gf[1], gr[1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4, err_msg=f"dW {i}")
+    finally:
+        cs._get_stack_core.cache_clear()
+        cs._plans.cache_clear()
