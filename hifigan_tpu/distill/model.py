@@ -43,13 +43,19 @@ class DistillModels:
     """Host-side bundle: flax modules + initial params for every model."""
 
     def __init__(self, config: dict, example_labels: dict, label_weights: dict,
-                 sampling_rate: int | None = None, compute_dtype=None):
+                 sampling_rate: int | None = None, compute_dtype=None,
+                 conv_impl: str | None = None):
         models_cfg = config["models"]
         # mixed precision for every DSL model (config key models.compute_dtype
         # or the ctor arg): conv stacks run in e.g. bf16, params/losses f32 —
         # same contract as the vocoder's gen/disc_compute_dtype
         compute_dtype = compute_dtype or models_cfg.get("compute_dtype")
         self.compute_dtype = compute_dtype
+        # 1-D conv lowering for every DSL model (config key models.conv_impl
+        # or the ctor arg; see ConfigurableModule.conv_impl) — 'folded'
+        # routes the narrow stride-1 convs through ops.conv.conv1d_time_folded
+        conv_impl = conv_impl or models_cfg.get("conv_impl", "auto")
+        self.conv_impl = conv_impl
         gen_layers = parse_layers(models_cfg["generator"]["layers"])
         self.generator_layers = gen_layers
         self.embedding_size = embedding_size_from_layers(gen_layers)
@@ -59,8 +65,8 @@ class DistillModels:
         gen_cfgs = get_generator_configs(
             gen_layers, expansion_size=expansion, embedding_size=self.embedding_size
         )
-        self.encoder = ConfigurableModule(config=gen_cfgs["encoder"], compute_dtype=compute_dtype)
-        self.decoder = ConfigurableModule(config=gen_cfgs["decoder"], compute_dtype=compute_dtype)
+        self.encoder = ConfigurableModule(config=gen_cfgs["encoder"], compute_dtype=compute_dtype, conv_impl=conv_impl)
+        self.decoder = ConfigurableModule(config=gen_cfgs["decoder"], compute_dtype=compute_dtype, conv_impl=conv_impl)
 
         disc_layers = parse_layers(models_cfg["discriminator"]["layers"])
         disc_cfg = get_discriminator_config(
@@ -70,10 +76,11 @@ class DistillModels:
         )
         self.discriminator = ConfigurableModule(config=disc_cfg, update_spectral=True,
                                                 mel_sampling_rate_override=sampling_rate,
-                                                compute_dtype=compute_dtype)
+                                                compute_dtype=compute_dtype,
+                                                conv_impl=conv_impl)
         self.discriminator_eval = ConfigurableModule(config=disc_cfg, update_spectral=False,
                                                      mel_sampling_rate_override=sampling_rate,
-                                                     compute_dtype=compute_dtype)
+                                                     compute_dtype=compute_dtype, conv_impl=conv_impl)
 
         # classifiers operate on the split halves of the embedding
         half = self.embedding_channels // 2
@@ -93,9 +100,9 @@ class DistillModels:
             example_labels, layers=sniffer_layers,
             ensemble_size=models_cfg["sniffers"].get("ensemble", 3),
         )
-        self.keepers = {k: ConfigurableModule(config=c, compute_dtype=compute_dtype) for k, c in keeper_cfgs.items()}
-        self.hunters = {k: ConfigurableModule(config=c, compute_dtype=compute_dtype) for k, c in hunter_cfgs.items()}
-        self.sniffers = {k: ConfigurableModule(config=c, compute_dtype=compute_dtype) for k, c in sniffer_cfgs.items()}
+        self.keepers = {k: ConfigurableModule(config=c, compute_dtype=compute_dtype, conv_impl=conv_impl) for k, c in keeper_cfgs.items()}
+        self.hunters = {k: ConfigurableModule(config=c, compute_dtype=compute_dtype, conv_impl=conv_impl) for k, c in hunter_cfgs.items()}
+        self.sniffers = {k: ConfigurableModule(config=c, compute_dtype=compute_dtype, conv_impl=conv_impl) for k, c in sniffer_cfgs.items()}
 
         self.example_labels = example_labels
         self.label_weights = label_weights

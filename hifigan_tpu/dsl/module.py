@@ -107,9 +107,12 @@ class ConfigurableModule(nn.Module):
     # whole-graph vmapped form better. Keep 'vmap' unless a new measurement
     # says otherwise.
     ensemble_impl: str = "vmap"
-    # 1-D conv backend for 'conv'/'conv_rech' nodes. 'auto' = the fused
-    # Pallas tap-loop kernel (ops/pallas/msd_conv.py) on TPU, XLA elsewhere;
-    # 'pallas' / 'pallas_interpret' (tests) / 'xla' force. Nodes combining
+    # 1-D conv backend for 'conv'/'conv_rech' nodes. 'auto' = XLA (measured
+    # fastest at production batch for the per-layer Pallas form); 'folded' =
+    # route stride-1 narrow-channel convs through the time-fold lowering
+    # (ops.conv.conv1d_time_folded — the distill discriminator's 1-66-ch
+    # convs run at ~0.5 TFLOP/s direct); 'pallas' / 'pallas_interpret'
+    # (tests) force the per-layer Pallas tap-loop kernel. Nodes combining
     # stride>1 with dilation>1 (none in the shipped configs) stay on XLA.
     conv_impl: str = "auto"
     # Internal (vmapped-ensemble support): also return the tagged-feature
@@ -229,17 +232,20 @@ class ConfigurableModule(nn.Module):
         variances = jax.tree_util.tree_map(lambda s: jnp.var(s, axis=0, ddof=1), stacked)
         return {"mean": means, "variance": variances}, feats
 
-    def _conv_backend(self, stride: int, dilation: int) -> tuple[bool, bool]:
-        """(use_fused_pallas, interpret) for a 1-D conv node."""
-        if stride > 1 and dilation > 1:
-            return False, False  # not supported by the fused op (unused)
-        if self.conv_impl == "pallas":
-            return True, False
-        if self.conv_impl == "pallas_interpret":
-            return True, True
+    def _conv_backend(self, stride: int, dilation: int) -> tuple[str | None, bool]:
+        """(fused_impl, interpret) for a 1-D conv node."""
+        if self.conv_impl in ("pallas", "pallas_interpret"):
+            if stride > 1 and dilation > 1:
+                return None, False  # not supported by the fused op (unused)
+            return "pallas_msd", self.conv_impl == "pallas_interpret"
+        if self.conv_impl == "folded" and stride == 1:
+            # narrow-channel convs through the time-fold lowering
+            # (ops.conv.conv1d_time_folded) — NormConv1d falls back to the
+            # direct conv when its own eligibility gate fails
+            return "folded", False
         # 'auto' resolves to XLA for now: per-conv pallas measured slower at
         # production batch (fold/transpose glue; docs/OPERATIONS.md)
-        return False, False
+        return None, False
 
     # -- node dispatch -----------------------------------------------------
 
@@ -264,7 +270,7 @@ class ConfigurableModule(nn.Module):
         # ---- convolutions ----
         if name == "conv":
             chin, chout, k, s, d, g, init, norm = _conv_params(*p)
-            fused, interp = self._conv_backend(s, d)
+            fimpl, interp = self._conv_backend(s, d)
             y = NormConv1d(
                 features=chout,
                 kernel_size=k,
@@ -274,7 +280,7 @@ class ConfigurableModule(nn.Module):
                 padding=dsl_padding(k, s, d),
                 norm=norm,
                 init_std=init,
-                fused_impl="pallas_msd" if fused else None,
+                fused_impl=fimpl,
                 fused_interpret=interp,
                 name=f"{path}_conv",
             )(x, self.update_spectral)
@@ -288,7 +294,7 @@ class ConfigurableModule(nn.Module):
                 p[3] = int(p[1]) // math.gcd(int(p[0]), int(p[1]))
             chin, chout, k, s, d, g, init, norm = _conv_params(*p)
             conv_out = s * chin
-            fused, interp = self._conv_backend(s, d)
+            fimpl, interp = self._conv_backend(s, d)
             y = NormConv1d(
                 features=conv_out,
                 kernel_size=k,
@@ -298,7 +304,7 @@ class ConfigurableModule(nn.Module):
                 padding=dsl_padding(k, s, d),
                 norm=norm,
                 init_std=init,
-                fused_impl="pallas_msd" if fused else None,
+                fused_impl=fimpl,
                 fused_interpret=interp,
                 name=f"{path}_convrech",
             )(x, self.update_spectral)

@@ -187,6 +187,18 @@ class NormConv1d(_NormConvBase):
                 interpret=self.fused_interpret,
             )
         if (
+            self.fused_impl == "folded"
+            and self.stride == 1
+            and self.groups == 1
+            and isinstance(self.padding, int)
+        ):
+            from hifigan_tpu.ops.conv import conv1d_time_folded
+
+            return conv1d_time_folded(
+                x, kernel, bias, padding=self.padding,
+                dilation=self.dilation, precision=self.precision,
+            )
+        if (
             self.time_block > 1
             and self.stride == 1
             and self.groups == 1

@@ -76,6 +76,55 @@ def conv1d(
     return y
 
 
+def conv1d_time_folded(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+    padding: int = 0,
+    dilation: int = 1,
+    precision=None,
+    fold: int | None = None,
+    max_fold: int = 16,
+) -> jax.Array:
+    """Narrow-channel stride-1 conv via the group time-fold transform.
+
+    XLA's conv lowering collapses at tiny channel counts over long
+    sequences (the distill discriminator's 1-66-channel convs measure
+    ~0.5 TFLOP/s on v5e — lanes are 128 wide). Folding `fold` time steps
+    into lanes (conv_stack.zone_grouped_layer with groups=1, sigma=1)
+    re-expresses the conv over a (T/fold, fold*C) layout with a small
+    banded kernel whose tap count ~ K*dilation/fold + 2: near-full lanes at
+    a bounded FLOP pad of (2*fold + (K-1)*dilation) / K. Exact (incl.
+    odd T via fold padding == conv zero padding; validated against
+    torch-parity conv1d in tests/test_ops.py).
+    """
+    from hifigan_tpu.ops.pallas.conv_stack import (
+        fold_group_zones,
+        unfold_group_zones,
+        zone_grouped_layer,
+    )
+
+    k, ci, co = kernel.shape
+    t = x.shape[1]
+    if fold is None:
+        fold = max(1, min(128 // max(ci, co, 1), max_fold))
+    if fold <= 1:
+        return conv1d(x, kernel, bias, padding=padding, dilation=dilation,
+                      precision=precision)
+    zk, zb, spec = zone_grouped_layer(
+        kernel, bias, 1, padding, fold, fold, 1, 1.0, t, dilation=dilation
+    )
+    z = fold_group_zones(x, 1, fold)
+    y = jax.lax.conv_general_dilated(
+        z, zk, (spec.stride,), [(spec.pad_l, spec.pad_r)],
+        dimension_numbers=("NWC", "WIO", "NWC"), precision=precision,
+    )
+    if zb is not None:
+        y = y + zb
+    t_out = t + 2 * padding - (k - 1) * dilation
+    return unfold_group_zones(y, 1, fold, t_out=t_out)
+
+
 def conv_transpose1d(
     x: jax.Array,
     kernel: jax.Array,

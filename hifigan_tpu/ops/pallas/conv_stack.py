@@ -905,6 +905,7 @@ def fused_conv_stack(
 def zone_grouped_layer(
     kernel: jax.Array, bias: jax.Array | None, s: int, pad: int,
     f_in: int, f_out: int, groups: int, slope: float, t_in: int,
+    dilation: int = 1,
 ) -> tuple[jax.Array, jax.Array | None, LayerSpec]:
     """Fold one grouped conv layer into the time-zone form.
 
@@ -913,18 +914,19 @@ def zone_grouped_layer(
     fused_conv_stack on the zone-layout activation (see module comment).
     """
     K, ci, gco = kernel.shape
+    d = dilation
     g = groups
     co = gco // g
     assert (f_out * s) % f_in == 0, (f_in, f_out, s)
     sigma = (f_out * s) // f_in
-    d_min, d_max = -pad, (f_out - 1) * s + K - 1 - pad
+    d_min, d_max = -pad, (f_out - 1) * s + (K - 1) * d - pad
     q_min, q_max = d_min // f_in, d_max // f_in
     kk = q_max - q_min + 1
     # non-divisible lengths fold into a PARTIAL last row: the trailing fold
     # phases are zeros (== conv padding, so reads stay exact) and the
     # layer's partial-output lanes are zeroed by the kernel's lane mask
     rows_in = _cdiv(t_in, f_in)
-    t_out = (t_in + 2 * pad - K) // s + 1
+    t_out = (t_in + 2 * pad - (K - 1) * d - 1) // s + 1
     rows_out = _cdiv(t_out, f_out)
     rem_out = t_out % f_out
     pad_l = -q_min
@@ -936,9 +938,9 @@ def zone_grouped_layer(
         np.arange(q_min, q_max + 1), np.arange(f_in), np.arange(f_out),
         indexing="ij",
     )
-    k_i = q_i * f_in + phi_i - psi_i * s + pad
-    valid = (k_i >= 0) & (k_i < K)
-    k_safe = np.where(valid, k_i, K)  # K -> the zero tap appended below
+    kd_i = q_i * f_in + phi_i - psi_i * s + pad  # = tap k times dilation
+    valid = (kd_i >= 0) & (kd_i < (K - 1) * d + 1) & (kd_i % d == 0)
+    k_safe = np.where(valid, kd_i // d, K)  # K -> the zero tap appended below
     wp = jnp.concatenate([kernel, jnp.zeros((1, ci, gco), kernel.dtype)])
     gathered = wp[jnp.asarray(k_safe.reshape(-1))]  # (kk*f_in*f_out, ci, g*co)
     gathered = gathered.reshape(kk, f_in, f_out, ci, g, co)

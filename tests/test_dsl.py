@@ -424,3 +424,41 @@ def test_legacy_unrolled_ensemble_checkpoint_restacks():
     np.testing.assert_allclose(
         np.asarray(vmap_out["variance"]), np.asarray(legacy_out["variance"]), atol=1e-5, rtol=1e-5
     )
+
+
+def test_discriminator_conv_impl_folded_parity():
+    """conv_impl='folded' (time-fold lowering of the narrow stride-1 convs,
+    ops.conv.conv1d_time_folded) computes the identical discriminator:
+    same param tree, same outputs, same grads."""
+    layers = parse_layers(["roll:1,5,1", "roll:2,5,2", "all:3,5,1", "roll:4,3,1"])
+    cfg = get_discriminator_config(layers, expansion_size=1, ensemble_size=2)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 144, 1)), jnp.float32
+    )
+    m_ref = ConfigurableModule(config=cfg)
+    m_fold = ConfigurableModule(config=cfg, conv_impl="folded")
+    v = m_ref.init({"params": jax.random.PRNGKey(0)}, x)
+    v2 = m_fold.init({"params": jax.random.PRNGKey(0)}, x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+
+    def loss(v, m):
+        out = m.apply(v, x)
+        return sum(
+            jnp.sum(jnp.abs(leaf))
+            for leaf in jax.tree_util.tree_leaves(out["output"])
+        ) + 0.1 * sum(
+            jnp.mean(jnp.abs(f))
+            for f in jax.tree_util.tree_leaves(out["features"])
+        )
+
+    lr, gr = jax.value_and_grad(loss)(v, m_ref)
+    lf, gf = jax.value_and_grad(loss)(v, m_fold)
+    np.testing.assert_allclose(float(lf), float(lr), rtol=2e-5)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gr),
+        jax.tree_util.tree_leaves_with_path(gf),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4,
+            err_msg=jax.tree_util.keystr(pa),
+        )

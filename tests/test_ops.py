@@ -236,3 +236,34 @@ def test_grouped_conv_blocked_exact():
         ref = conv1d(x, w, bias, stride=s, padding=p, groups=g)
         got = conv1d_grouped_blocked(x, w, bias, stride=s, padding=p, groups=g)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_conv1d_time_folded_matches_direct(rng):
+    """The time-fold lowering is exact across the distill discriminator's
+    conv geometries (narrow channels, dilation 1/2/5, odd lengths)."""
+    import jax
+
+    from hifigan_tpu.ops.conv import conv1d, conv1d_time_folded, torch_same_padding
+
+    cases = [  # (T, ci, K, co, d)
+        (2080, 63, 9, 21, 1), (1330, 66, 5, 33, 2), (3360, 26, 9, 13, 5),
+        (5460, 16, 13, 8, 1), (14560, 6, 21, 3, 2), (437, 1, 33, 1, 1),
+        (310, 144, 1, 144, 1), (813, 54, 3, 54, 5),
+    ]
+    for (t, ci, k, co, d) in cases:
+        x = jnp.asarray(rng.standard_normal((2, t, ci)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, ci, co)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
+        pad = torch_same_padding(k, d)
+        want = conv1d(x, w, b, padding=pad, dilation=d)
+        got = conv1d_time_folded(x, w, b, padding=pad, dilation=d)
+        assert got.shape == want.shape, (t, ci, k, co, d, got.shape, want.shape)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-4, rtol=2e-4,
+            err_msg=str((t, ci, k, co, d)),
+        )
+        # grads through the pack + fold transposes
+        gw_d = jax.grad(lambda w: conv1d(x, w, b, padding=pad, dilation=d).sum())(w)
+        gw_f = jax.grad(lambda w: conv1d_time_folded(x, w, b, padding=pad, dilation=d).sum())(w)
+        np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_d),
+                                   atol=3e-3, rtol=2e-3, err_msg=str((t, ci, k, co, d)))
