@@ -44,7 +44,7 @@ class DistillModels:
 
     def __init__(self, config: dict, example_labels: dict, label_weights: dict,
                  sampling_rate: int | None = None, compute_dtype=None,
-                 conv_impl: str | None = None):
+                 conv_impl: str | None = None, member_impl: str | None = None):
         models_cfg = config["models"]
         # mixed precision for every DSL model (config key models.compute_dtype
         # or the ctor arg): conv stacks run in e.g. bf16, params/losses f32 —
@@ -56,6 +56,10 @@ class DistillModels:
         # routes the narrow stride-1 convs through ops.conv.conv1d_time_folded
         conv_impl = conv_impl or models_cfg.get("conv_impl", "auto")
         self.conv_impl = conv_impl
+        # all-in-one discriminator member lowering (config key
+        # models.member_impl or the ctor arg; see ConfigurableModule.member_impl)
+        member_impl = member_impl or models_cfg.get("member_impl", "auto")
+        self.member_impl = member_impl
         gen_layers = parse_layers(models_cfg["generator"]["layers"])
         self.generator_layers = gen_layers
         self.embedding_size = embedding_size_from_layers(gen_layers)
@@ -77,10 +81,12 @@ class DistillModels:
         self.discriminator = ConfigurableModule(config=disc_cfg, update_spectral=True,
                                                 mel_sampling_rate_override=sampling_rate,
                                                 compute_dtype=compute_dtype,
-                                                conv_impl=conv_impl)
+                                                conv_impl=conv_impl,
+                                                member_impl=member_impl)
         self.discriminator_eval = ConfigurableModule(config=disc_cfg, update_spectral=False,
                                                      mel_sampling_rate_override=sampling_rate,
-                                                     compute_dtype=compute_dtype, conv_impl=conv_impl)
+                                                     compute_dtype=compute_dtype, conv_impl=conv_impl,
+                                                     member_impl=member_impl)
 
         # classifiers operate on the split halves of the embedding
         half = self.embedding_channels // 2

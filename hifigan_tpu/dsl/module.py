@@ -115,6 +115,16 @@ class ConfigurableModule(nn.Module):
     # (tests) force the per-layer Pallas tap-loop kernel. Nodes combining
     # stride>1 with dilation>1 (none in the shipped configs) stay on XLA.
     conv_impl: str = "auto"
+    # All-in-one discriminator member lowering. 'fused' runs each
+    # pfmap(all_in_one_discriminator) member subtree as fused Pallas
+    # stream-graph kernels (one per all-in-one block; dsl/fused_member.py) —
+    # the member's ~43 tiny convs are dispatch-bound under XLA.
+    # 'fused_interpret' runs the same kernels interpreted (tests);
+    # 'interpret' (and, until measured on hardware, 'auto') keeps the plain
+    # interpreter. Subtrees the pattern-matcher rejects fall back silently
+    # BEFORE any parameter is created, so the param tree never depends on
+    # this flag.
+    member_impl: str = "auto"
     # Internal (vmapped-ensemble support): also return the tagged-feature
     # side channel as a {"{i}|{tags!r}": value} dict so it can cross an
     # nn.vmap boundary (string tags live in the treedef, values are arrays).
@@ -214,6 +224,7 @@ class ConfigurableModule(nn.Module):
             mel_sampling_rate_override=self.mel_sampling_rate_override,
             update_spectral=self.update_spectral,
             conv_impl=self.conv_impl,
+            member_impl=self.member_impl,
             return_feats=True,
             name=f"{path}_ens",
         )
@@ -504,6 +515,22 @@ class ConfigurableModule(nn.Module):
             captured = [v for t, v in f if any(tag in tags_to_find for tag in t)]
             return {"output": out, "features": captured}, f
         if name == "pfmap":
+            if self.member_impl in ("fused", "fused_interpret"):
+                from hifigan_tpu.dsl.fused_member import (
+                    StreamUnsupported,
+                    eval_member_pfmap,
+                    parse_member,
+                )
+
+                try:  # static pattern check first: no params created, so a
+                    parse_member(p, path)  # rejected subtree falls back clean
+                except StreamUnsupported:
+                    pass
+                else:
+                    return eval_member_pfmap(
+                        self, p, args, path,
+                        interpret=self.member_impl == "fused_interpret",
+                    )
             sub_cfg, tags_to_find, feature_models = p
             out, f = self._eval(sub_cfg, args, f"{path}_pfm")
             captured = [v for t, v in f if any(tag in tags_to_find for tag in t)]

@@ -462,3 +462,48 @@ def test_discriminator_conv_impl_folded_parity():
             np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4,
             err_msg=jax.tree_util.keystr(pa),
         )
+
+
+def test_discriminator_member_impl_fused_parity():
+    """member_impl='fused_interpret' (whole-member Pallas stream-graph
+    lowering, dsl/fused_member.py) computes the identical discriminator:
+    same param tree, same outputs/features, same grads — including the
+    rechannel transitions, roll/mel raw branches, residuals and pfmap heads
+    of the all-in-one family."""
+    layers = parse_layers(["roll:1,5,1", "roll:2,5,2", "all:3,5,1", "roll:4,3,1"])
+    cfg = get_discriminator_config(layers, expansion_size=1, ensemble_size=2)
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 144, 1)), jnp.float32
+    )
+    m_ref = ConfigurableModule(config=cfg, mel_sampling_rate_override=16000,
+                               update_spectral=True)
+    m_fused = ConfigurableModule(config=cfg, mel_sampling_rate_override=16000,
+                                 update_spectral=True,
+                                 member_impl="fused_interpret")
+    v = m_ref.init({"params": jax.random.PRNGKey(0)}, x,
+                   mutable=["params", "spectral", "valves"])
+    v2 = m_fused.init({"params": jax.random.PRNGKey(0)}, x,
+                      mutable=["params", "spectral", "valves"])
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+
+    def loss(v, m):
+        out = m.apply(v, x, mutable=["spectral"])[0]
+        return sum(
+            jnp.sum(jnp.abs(leaf))
+            for leaf in jax.tree_util.tree_leaves(out["output"])
+        ) + 0.1 * sum(
+            jnp.mean(jnp.abs(f))
+            for f in jax.tree_util.tree_leaves(out["features"])
+        )
+
+    lr, gr = jax.value_and_grad(loss)(v, m_ref)
+    lf, gf = jax.value_and_grad(loss)(v, m_fused)
+    np.testing.assert_allclose(float(lf), float(lr), rtol=2e-5)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gr),
+        jax.tree_util.tree_leaves_with_path(gf),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4,
+            err_msg=jax.tree_util.keystr(pa),
+        )
