@@ -44,7 +44,8 @@ class DistillModels:
 
     def __init__(self, config: dict, example_labels: dict, label_weights: dict,
                  sampling_rate: int | None = None, compute_dtype=None,
-                 conv_impl: str | None = None, member_impl: str | None = None):
+                 conv_impl: str | None = None, member_impl: str | None = None,
+                 stream_impl: str | None = None):
         models_cfg = config["models"]
         # mixed precision for every DSL model (config key models.compute_dtype
         # or the ctor arg): conv stacks run in e.g. bf16, params/losses f32 —
@@ -60,6 +61,11 @@ class DistillModels:
         # models.member_impl or the ctor arg; see ConfigurableModule.member_impl)
         member_impl = member_impl or models_cfg.get("member_impl", "auto")
         self.member_impl = member_impl
+        # generic stream-fusion for the other DSL models (config key
+        # models.stream_impl; see ConfigurableModule.stream_impl) — the
+        # encoder/decoder's narrow conv levels fuse into Pallas kernels
+        stream_impl = stream_impl or models_cfg.get("stream_impl", "auto")
+        self.stream_impl = stream_impl
         gen_layers = parse_layers(models_cfg["generator"]["layers"])
         self.generator_layers = gen_layers
         self.embedding_size = embedding_size_from_layers(gen_layers)
@@ -69,8 +75,8 @@ class DistillModels:
         gen_cfgs = get_generator_configs(
             gen_layers, expansion_size=expansion, embedding_size=self.embedding_size
         )
-        self.encoder = ConfigurableModule(config=gen_cfgs["encoder"], compute_dtype=compute_dtype, conv_impl=conv_impl)
-        self.decoder = ConfigurableModule(config=gen_cfgs["decoder"], compute_dtype=compute_dtype, conv_impl=conv_impl)
+        self.encoder = ConfigurableModule(config=gen_cfgs["encoder"], compute_dtype=compute_dtype, conv_impl=conv_impl, stream_impl=stream_impl)
+        self.decoder = ConfigurableModule(config=gen_cfgs["decoder"], compute_dtype=compute_dtype, conv_impl=conv_impl, stream_impl=stream_impl)
 
         disc_layers = parse_layers(models_cfg["discriminator"]["layers"])
         disc_cfg = get_discriminator_config(

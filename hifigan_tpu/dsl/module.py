@@ -125,6 +125,15 @@ class ConfigurableModule(nn.Module):
     # BEFORE any parameter is created, so the param tree never depends on
     # this flag.
     member_impl: str = "auto"
+    # Generic stream-fusion pass (dsl/stream_fusion.py): greedily fuse runs
+    # of narrow same-rate stream ops (conv/lrelu/tanh/res/sub_res/pool/
+    # repl/avg_ch/sum) into single Pallas stream-graph kernels — the distill
+    # encoder/decoder's 4/12/84-channel levels are dispatch-bound under XLA.
+    # Unsupported atoms (rolls, wide convs, tags, ...) fall back to the
+    # interpreter node-by-node at identical paths, so the param tree never
+    # depends on this flag. 'fused' / 'fused_interpret' opt in; 'auto' stays
+    # on the interpreter until measured on hardware.
+    stream_impl: str = "auto"
     # Internal (vmapped-ensemble support): also return the tagged-feature
     # side channel as a {"{i}|{tags!r}": value} dict so it can cross an
     # nn.vmap boundary (string tags live in the treedef, values are arrays).
@@ -151,7 +160,15 @@ class ConfigurableModule(nn.Module):
             # tree-map so pytree inputs (e.g. a sniffer's {label: preds}
             # dict) are cast too, mirroring the output-side cast
             args = tuple(jax.tree_util.tree_map(to_cd, a) for a in args)
-        y, feats = self._eval(self.config, args, "m")
+        if self.stream_impl in ("fused", "fused_interpret") and len(args) == 1:
+            from hifigan_tpu.dsl.stream_fusion import eval_stream_fused
+
+            y, feats = eval_stream_fused(
+                self, self.config, args[0], "m",
+                interpret=self.stream_impl == "fused_interpret",
+            )
+        else:
+            y, feats = self._eval(self.config, args, "m")
         if cd is not None:
             to_f32 = lambda a: (
                 a.astype(jnp.float32)

@@ -507,3 +507,71 @@ def test_discriminator_member_impl_fused_parity():
             np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4,
             err_msg=jax.tree_util.keystr(pa),
         )
+
+
+def test_generator_stream_impl_fused_parity():
+    """stream_impl='fused_interpret' (generic stream-fusion pass,
+    dsl/stream_fusion.py) computes the identical encoder/decoder: same param
+    trees, same outputs, same grads — covering width-changing convs, res /
+    sub_res(pool), repl / avg_ch / sum constant edges, and the XLA fallback
+    for rolls and the wide core level."""
+    from hifigan_tpu.dsl.static_configs import get_generator_configs
+
+    layers = parse_layers([
+        "res.1,none:1,3,1,1,1,1e-00",
+        "res.1|conv.1,sub_res:1,3,3,1,1,1e-00",
+        "res.1|conv.1,sub_res:3,3,5,1,1,1e-00",
+    ])
+    g = get_generator_configs(layers, expansion_size=2, embedding_size=15)
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 150, 1)), jnp.float32
+    )
+    enc_i = ConfigurableModule(config=g["encoder"])
+    enc_f = ConfigurableModule(config=g["encoder"], stream_impl="fused_interpret")
+    dec_i = ConfigurableModule(config=g["decoder"])
+    dec_f = ConfigurableModule(config=g["decoder"], stream_impl="fused_interpret")
+    v = enc_i.init(jax.random.PRNGKey(0), x, mutable=["params", "spectral"])
+    v2 = enc_f.init(jax.random.PRNGKey(0), x, mutable=["params", "spectral"])
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    emb = enc_i.apply(v, x)
+    dv = dec_i.init(jax.random.PRNGKey(1), emb)
+    dv2 = dec_f.init(jax.random.PRNGKey(1), emb)
+    assert jax.tree_util.tree_structure(dv) == jax.tree_util.tree_structure(dv2)
+
+    def loss(v, dv, x, enc, dec):
+        y = dec.apply(dv, enc.apply(v, x))
+        return jnp.sum(y * y)
+
+    li, gi = jax.value_and_grad(loss, argnums=(0, 1, 2))(v, dv, x, enc_i, dec_i)
+    lf, gf = jax.value_and_grad(loss, argnums=(0, 1, 2))(v, dv, x, enc_f, dec_f)
+    np.testing.assert_allclose(float(lf), float(li), rtol=2e-5)
+    for (pa, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(gi), jax.tree_util.tree_leaves(gf)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
+def test_stream_impl_fallback_on_unsupported_nodes():
+    """Configs with valves/noise (get_decaying_block) keep interpreter
+    semantics under stream_impl='fused_interpret' (node-exact fallback)."""
+    from hifigan_tpu.dsl.static_configs import get_decaying_block
+
+    inner = [("conv", (4, 4, 3, 1, 1, 1, 0.01)), ("lrelu", 0.1),
+             ("conv", (4, 4, 3, 1, 1, 1, 0.01))]
+    cfg = [("conv", (2, 4, 3, 1, 1, 1, 0.01)), ("lrelu", 0.1),
+           get_decaying_block(0.5, "skip", "anti", 4, inner),
+           ("conv", (4, 2, 3, 1, 1, 1, 0.01)), ("tanh",)]
+    x = jnp.asarray(
+        np.random.default_rng(9).standard_normal((2, 64, 2)), jnp.float32
+    )
+    m_i = ConfigurableModule(config=cfg)
+    m_f = ConfigurableModule(config=cfg, stream_impl="fused_interpret")
+    v = m_i.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x)
+    v2 = m_f.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    yi = m_i.apply(v, x, rngs={"noise": jax.random.PRNGKey(2)})
+    yf = m_f.apply(v, x, rngs={"noise": jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yi), atol=2e-5)
