@@ -128,10 +128,14 @@ class DiscriminatorS(nn.Module):
         impl = self.conv_impl
         if impl == "auto":
             # fused_stack wins on accelerators (measured above); the Mosaic
-            # kernels need a TPU backend and 128-aligned stack width
+            # kernels need a TPU backend and 128-aligned stack width. Multi-
+            # device meshes keep the XLA form: GSPMD treats a Mosaic call as
+            # opaque and would replicate its operands (docs/OPERATIONS.md).
             impl = (
                 "fused_stack"
-                if jax.default_backend() != "cpu" and self.width % 128 == 0
+                if jax.default_backend() != "cpu"
+                and self.width % 128 == 0
+                and len(jax.devices()) == 1
                 else "xla"
             )
         if impl in ("fused_stack", "fused_zoned"):
