@@ -22,8 +22,11 @@ Key mappings (see stream_graph's module docstring for the layout):
   raw waveform fed to the kernel as side-input levels; the block's
   concat-then-conv becomes a SUM of per-branch banded dots (a conv over a
   channel concat splits exactly), so no concat is materialised.
-- ``mel`` raw branches stay in XLA (they are 2 of ~45 ops) and enter the
-  kernel as folded side inputs.
+- ``mel`` raw branches run IN-KERNEL when n_fft == hop (the shipped
+  geometry): the windowed real-DFT is a strided banded conv table, |.|^2 a
+  'square' activation, and the mel projection a 1x1 [fb; fb] conv +
+  'log1e5' — three stream ops, numerics matching audio/mel.py's matmul
+  path. Other geometries keep the XLA mel as a folded side input.
 - The parameter tree is IDENTICAL to the interpreter's: weights are
   collected through the same NormConv1d submodules (weights_only=True) at
   the same flax paths, so checkpoints and the ensemble vmap are unaffected.
@@ -281,6 +284,58 @@ def _dsl_padding(kernel: int, stride: int = 1, dilation: int = 1) -> int:
     return ((kernel - 1) * dilation + 1) // 2
 
 
+def _lower_mel_branch(module, sb, mel_cfg, raw, f2, dt, t0):
+    """Lower a 'mel' raw branch to three in-kernel stream ops, or None.
+
+    For the shipped geometry (n_fft == win == hop == out_ch, the mel nodes
+    emitted by static_configs.get_mel_raw_block) the log-mel is exactly:
+    frames are a stride-hop stream conv with the windowed real-DFT basis as
+    its (n_fft, 1, 2*n_bins) table, |.|^2 is a 'square' activation, and the
+    mel projection is a 1x1 conv with the stacked [fb; fb] filterbank +
+    'log1e5' activation — numerics identical to audio/mel.py's matmul path
+    (periodic Hann, onesided DFT, power 2, HTK fbank, log(clip(x, 1e-5))).
+    The bare XLA mel node measured 1.8 ms at production scale
+    (docs/OPERATIONS.md) — in-kernel it rides the same VMEM-resident zones.
+    """
+    from hifigan_tpu.audio.mel import mel_filterbank
+    from hifigan_tpu.audio.stft import _rdft_basis, hann_window
+    from hifigan_tpu.dsl.module import padding_period
+
+    p = mel_cfg[2]
+    sr, out_ch, k, s = (int(v) for v in p[:4])
+    if module.mel_sampling_rate_override:
+        sr = module.mel_sampling_rate_override
+    if k != s:  # overlapping frames need reflect padding — stay on XLA
+        return None
+    lo, hi = padding_period(t0, s)
+    raw_p = raw if lo == hi == 0 else jnp.pad(
+        raw, ((0, 0), (lo, hi), (0, 0))
+    )
+    t_p = t0 + lo + hi
+    n_bins = k // 2 + 1
+    basis = _rdft_basis(k, k) * hann_window(k)[:, None]  # (k, 2*n_bins)
+    w1 = jnp.asarray(basis, jnp.float32)[:, None, :]  # (k, 1, 2*n_bins)
+    fb = mel_filterbank(sr, k, out_ch, 0.0, None, "htk", None)
+    w2 = jnp.concatenate(
+        [jnp.asarray(fb, jnp.float32)] * 2, axis=0
+    )[None]  # (1, 2*n_bins, out_ch)
+
+    pin = sb.add_input(raw_p.astype(dt), s * f2)
+    ce1 = stream_conv(
+        w1.astype(dt), None, f_in=s * f2, f_out=f2, t_in=t_p, s=s, pad=0
+    )
+    z = sb.add_op([(pin, ce1)], "none", 1.0, None,
+                  t_out=ce1.t_out, c_out=2 * n_bins, f_out=f2)
+    sq = sb.add_op([], "square", 1.0, z,
+                   t_out=ce1.t_out, c_out=2 * n_bins, f_out=f2)
+    ce2 = stream_conv(
+        w2.astype(dt), None, f_in=f2, f_out=f2, t_in=ce1.t_out, s=1, pad=0
+    )
+    mel = sb.add_op([(sq, ce2)], "log1e5", 1.0, None,
+                    t_out=ce2.t_out, c_out=out_ch, f_out=f2)
+    return mel, ce2.t_out, out_ch
+
+
 class _SegBuilder:
     """Accumulates levels/ops/tables for one fused segment."""
 
@@ -452,11 +507,19 @@ def eval_member_pfmap(module, p, args, path: str, *, interpret: bool):
         roll_li = sb.add_input(roll_v.astype(dt), f2)
         branches = [(rech, t_x), (roll_li, roll_v.shape[1])]
         if blk.mel_cfg is not None:
-            mel_v, mel_f = module._eval(blk.mel_cfg, (raw,), f"{jpath}_aib_r1")
-            assert not mel_f
-            _expect(mel_v.shape[-1] == blk.c_out, "mel channels")
-            mel_li = sb.add_input(mel_v.astype(dt), f2)
-            branches.append((mel_li, mel_v.shape[1]))
+            low = _lower_mel_branch(module, sb, blk.mel_cfg, raw, f2, dt, t0)
+            if low is not None:
+                mel_li, mel_t, mel_c = low
+                _expect(mel_c == blk.c_out, "mel channels")
+                branches.append((mel_li, mel_t))
+            else:  # unsupported mel geometry: XLA branch fed as an input
+                mel_v, mel_f = module._eval(
+                    blk.mel_cfg, (raw,), f"{jpath}_aib_r1"
+                )
+                assert not mel_f
+                _expect(mel_v.shape[-1] == blk.c_out, "mel channels")
+                mel_li = sb.add_input(mel_v.astype(dt), f2)
+                branches.append((mel_li, mel_v.shape[1]))
 
         max_len = max(t for _li, t in branches)
         km, bm = weights(blk.mid)

@@ -262,20 +262,43 @@ def _valid_mask(vals, lvl: Level, plan: _Plan, lead: int, guard: int):
     return vals * full + vals * (part * lmask)
 
 
+_LOG_CLIP = 1e-5
+
+
 def _apply_act(z, op: Op):
     if op.act == "lrelu":
         return jnp.maximum(z, 0.0) + op.slope * jnp.minimum(z, 0.0)
     if op.act == "tanh":
         return jnp.tanh(z)
+    if op.act == "square":
+        return z * z
+    if op.act == "log1e5":
+        # dynamic_range_compression (audio/mel.py): log(clip(x, 1e-5)).
+        # Guard rows (zeros) map to log(1e-5); the zone mask zeroes them
+        # right after, so consumers still read exact zero padding.
+        return jnp.log(jnp.maximum(z, _LOG_CLIP))
     return z
 
 
-def _act_vjp_mask(dz, y, op: Op):
-    """Cotangent through the activation from the saved POST-activation y."""
+def _act_vjp_mask(dz, y, op: Op, src=None):
+    """Cotangent through the activation from the saved POST-activation y.
+
+    'square' is the one act whose derivative needs the pre-activation; it is
+    only emitted as an act-only op (edges == (), res_from set), whose source
+    level value is passed as ``src``.
+    """
     if op.act == "lrelu":
         return dz * jnp.where(y >= 0.0, 1.0, op.slope)
     if op.act == "tanh":
         return dz * (1.0 - y * y)
+    if op.act == "square":
+        assert src is not None
+        return dz * (2.0 * src)
+    if op.act == "log1e5":
+        # y = log(max(z, clip)) => dz/dy = exp(-y), zero in the clipped region
+        return dz * jnp.where(
+            y > jnp.log(jnp.float32(_LOG_CLIP)), jnp.exp(-y), 0.0
+        )
     return dz
 
 
@@ -463,7 +486,15 @@ def _bwd_kernel(plan: _Plan, n_in: int, n_tab: int, refs):
         lvl = seg.levels[op.out]
         rows_out = plan.rows[op.out]
         dz = da_refs[op.out][...]
-        dz = _act_vjp_mask(dz, lvl_refs[op.out][...].astype(jnp.float32), op)
+        src_val = None
+        if op.act == "square":
+            off = plan.res_off[oi]
+            src_val = lvl_refs[op.res_from][
+                pl.ds(off, rows_out), :
+            ].astype(jnp.float32)
+        dz = _act_vjp_mask(
+            dz, lvl_refs[op.out][...].astype(jnp.float32), op, src_val
+        )
         dz = _valid_mask(dz, lvl, plan, plan.lead[op.out], plan.guard[op.out])
         db_refs[oi][...] += jnp.sum(dz, axis=0, keepdims=True)
         dzt = dz.astype(in_refs[0].dtype) if in_refs else dz.astype(
@@ -786,6 +817,10 @@ def reference_stream_graph(
             acc = jnp.maximum(acc, 0) + op.slope * jnp.minimum(acc, 0)
         elif op.act == "tanh":
             acc = jnp.tanh(acc)
+        elif op.act == "square":
+            acc = acc * acc
+        elif op.act == "log1e5":
+            acc = jnp.log(jnp.maximum(acc, _LOG_CLIP))
         if lvl.lane_valid:
             lane = jnp.arange(lvl.lanes)[None, None, :]
             last = jnp.arange(lvl.t_rows)[None, :, None] == lvl.t_rows - 1
