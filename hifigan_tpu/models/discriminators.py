@@ -106,6 +106,14 @@ class DiscriminatorS(nn.Module):
     # accelerators when the geometry allows, XLA otherwise/on CPU.
     conv_impl: str = "auto"
     conv_interpret: bool = False  # interpret the fused-stack kernels (tests)
+    # Device mesh for the fused-stack kernels: when set, the Pallas calls
+    # run under jax.shard_map with the batch split over ``mesh_batch_axis``
+    # (weights replicated, weight-grad psum from the shard_map transpose) —
+    # without it GSPMD would replicate the opaque Mosaic calls and defeat
+    # data parallelism. 'auto' only selects a fused form on multi-device
+    # when a mesh is provided and the batch divides its data axis.
+    mesh: Any = None
+    mesh_batch_axis: str = "data"
 
     @nn.compact
     def __call__(
@@ -128,14 +136,23 @@ class DiscriminatorS(nn.Module):
         impl = self.conv_impl
         if impl == "auto":
             # fused_stack wins on accelerators (measured above); the Mosaic
-            # kernels need a TPU backend and 128-aligned stack width. Multi-
-            # device meshes keep the XLA form: GSPMD treats a Mosaic call as
+            # kernels need a TPU backend and 128-aligned stack width. On a
+            # multi-device mesh the fused form needs the shard_map wiring
+            # (``mesh`` attr) — without it GSPMD treats a Mosaic call as
             # opaque and would replicate its operands (docs/OPERATIONS.md).
+            n_data = (
+                self.mesh.shape.get(self.mesh_batch_axis, 1)
+                if self.mesh is not None
+                else 1
+            )
+            multi_ok = len(jax.devices()) == 1 or (
+                n_data > 1 and b % n_data == 0
+            )
             impl = (
                 "fused_stack"
                 if jax.default_backend() != "cpu"
                 and self.width % 128 == 0
-                and len(jax.devices()) == 1
+                and multi_ok
                 else "xla"
             )
         if impl in ("fused_stack", "fused_zoned"):
@@ -257,7 +274,8 @@ class DiscriminatorS(nn.Module):
                 f_entry = 128 // (ents[0][2] // g)
                 z = fold_group_zones(out, g, f_entry)
                 ys = fused_conv_stack(
-                    z, zks, zbs, zspecs, interpret=self.conv_interpret
+                    z, zks, zbs, zspecs, interpret=self.conv_interpret,
+                    mesh=self.mesh, batch_axis=self.mesh_batch_axis,
                 )
                 fmap.extend(ys)
                 out = unfold_group_zones(
@@ -271,7 +289,8 @@ class DiscriminatorS(nn.Module):
                     for _, _, _, ch, k, s, gg, p, slope in ents
                 ]
                 ys = fused_conv_stack(
-                    out, kerns, bs, sspecs, interpret=self.conv_interpret
+                    out, kerns, bs, sspecs, interpret=self.conv_interpret,
+                    mesh=self.mesh, batch_axis=self.mesh_batch_axis,
                 )
                 fmap.extend(ys)
                 out = ys[-1]
@@ -333,6 +352,8 @@ class MultiScaleDiscriminator(nn.Module):
     fused: bool = False  # see MultiPeriodDiscriminator.fused
     conv_impl: str = "auto"  # see DiscriminatorS.conv_impl
     conv_interpret: bool = False
+    mesh: Any = None  # see DiscriminatorS.mesh
+    mesh_batch_axis: str = "data"
 
     @nn.compact
     def __call__(
@@ -355,6 +376,8 @@ class MultiScaleDiscriminator(nn.Module):
                 dtype=self.dtype,
                 conv_impl=self.conv_impl,
                 conv_interpret=self.conv_interpret,
+                mesh=self.mesh,
+                mesh_batch_axis=self.mesh_batch_axis,
                 name=f"discriminators_{i}",
             )
             if self.fused:

@@ -836,6 +836,8 @@ def fused_conv_stack(
     small_t: int = 256,
     e_small: int = 4,
     interpret: bool = False,
+    mesh: jax.sharding.Mesh | None = None,
+    batch_axis: str = "data",
 ) -> list[jax.Array]:
     """Run a sequential conv1d(+leaky-relu) stack as 1-2 fused Pallas kernels.
 
@@ -845,7 +847,49 @@ def fused_conv_stack(
     layer's c_out may be anything (internally lane-padded). Returns every
     layer's post-activation feature map; the last entry is the stack output.
     Differentiable (custom VJP, fused backward kernels — module docstring).
+
+    ``mesh``: under a multi-device mesh GSPMD treats the Mosaic call as
+    opaque and would replicate its operands; passing the mesh instead runs
+    the kernel under ``jax.shard_map`` with the batch (N) axis split over
+    ``batch_axis`` and the weights replicated — each device runs the
+    unchanged single-chip kernel on its local batch shard, and the shard_map
+    transpose inserts the weight-grad psum. Requires N divisible by the
+    axis size.
     """
+    if mesh is not None and mesh.shape.get(batch_axis, 1) > 1:
+        from jax.sharding import PartitionSpec as P
+
+        n_shards = mesh.shape[batch_axis]
+        if x.shape[0] % n_shards:
+            raise ValueError(
+                f"fused_conv_stack: batch {x.shape[0]} not divisible by "
+                f"mesh axis '{batch_axis}' ({n_shards})"
+            )
+        local = functools.partial(
+            _fused_conv_stack_local,
+            specs=tuple(specs), small_t=small_t, e_small=e_small,
+            interpret=interpret,
+        )
+        sharded = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(batch_axis), P(), P()),
+            out_specs=P(batch_axis),
+            # Pallas outputs carry no varying-manual-axes metadata; the
+            # composition (incl. the replicated-weight grad psum) is
+            # validated in tests/test_parallel.py.
+            check_vma=False,
+        )
+        return list(sharded(x, list(kernels), list(biases)))
+    return _fused_conv_stack_local(
+        x, list(kernels), list(biases), specs=tuple(specs),
+        small_t=small_t, e_small=e_small, interpret=interpret,
+    )
+
+
+def _fused_conv_stack_local(
+    x, kernels, biases, *, specs, small_t, e_small, interpret
+):
+    """Single-device body of fused_conv_stack (runs per-shard under a mesh)."""
     specs = list(specs)
     n_elems, t_in, c_in = x.shape
     kernels = list(kernels)

@@ -146,6 +146,86 @@ def test_distill_data_parallel_loss_parity():
         np.testing.assert_allclose(np.asarray(d), np.asarray(r), atol=1e-5, rtol=1e-4)
 
 
+def test_fused_conv_stack_sharded_matches_xla():
+    """fused_conv_stack(mesh=...) on a batch-sharded input must reproduce
+    the XLA chain's values AND gradients (incl. the replicated-weight grad
+    psum inserted by the shard_map transpose)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hifigan_tpu.ops.pallas.conv_stack import LayerSpec, fused_conv_stack
+    from test_pallas_conv_stack import _make_params, _ref_chain
+
+    specs = [
+        LayerSpec(128, 15, 1, 1, 7, 7, 0.1),
+        LayerSpec(256, 41, 2, 4, 20, 20, 0.1),
+        LayerSpec(1, 3, 1, 1, 1, 1, 1.0),
+    ]
+    kernels, biases = _make_params(jax.random.PRNGKey(0), specs, 128)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 256, 128))
+    mesh = create_mesh(model=1)
+
+    def loss_fused(x, kernels, biases):
+        ys = fused_conv_stack(
+            x, kernels, biases, specs, interpret=True, mesh=mesh
+        )
+        return sum(jnp.sum(y.astype(jnp.float32) ** 2) for y in ys), ys
+
+    def loss_ref(x, kernels, biases):
+        ys = _ref_chain(x, kernels, biases, specs)
+        return sum(jnp.sum(y.astype(jnp.float32) ** 2) for y in ys), ys
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    (v, ys), grads = jax.jit(
+        jax.value_and_grad(loss_fused, argnums=(0, 1, 2), has_aux=True)
+    )(xs, kernels, biases)
+    (v2, ys2), grads2 = jax.jit(
+        jax.value_and_grad(loss_ref, argnums=(0, 1, 2), has_aux=True)
+    )(x, kernels, biases)
+
+    # outputs stay batch-sharded (no GSPMD replication of the Mosaic call)
+    assert "data" in str(ys[0].sharding.spec)
+    np.testing.assert_allclose(float(v), float(v2), rtol=1e-5)
+    for a, b in zip(ys, ys2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grads), jax.tree_util.tree_leaves(grads2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-3
+        )
+
+
+def test_discriminator_s_fused_stack_on_mesh():
+    """DiscriminatorS(conv_impl='fused_stack', mesh=...) runs the whole
+    MSD-geometry stack batch-sharded and matches the XLA form."""
+    from hifigan_tpu.models.discriminators import DiscriminatorS
+
+    mesh = create_mesh(model=1)
+    x = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (8, 512))
+    d_xla = DiscriminatorS(width=128, conv_impl="xla")
+    params = d_xla.init(jax.random.PRNGKey(1), x)["params"]
+    logits_ref, fmap_ref = jax.jit(
+        lambda p, x: d_xla.apply({"params": p}, x)
+    )(params, x)
+
+    d_fused = DiscriminatorS(
+        width=128, conv_impl="fused_stack", conv_interpret=True, mesh=mesh
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    logits, fmap = jax.jit(
+        lambda p, x: d_fused.apply({"params": p}, x)
+    )(params, xs)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(logits_ref), atol=2e-4
+    )
+    assert len(fmap) == len(fmap_ref)
+    np.testing.assert_allclose(
+        np.asarray(fmap[-1]), np.asarray(fmap_ref[-1]), atol=2e-4
+    )
+
+
 def test_distill_resolve_mesh_policy():
     """resolve_mesh: auto-DP only when the train batch divides the device
     count; explicit None and Mesh pass through."""
