@@ -399,17 +399,21 @@ class _SegBuilder:
         return unfold_stream(outs[li], c, t)
 
 
-def eval_member_pfmap(module, p, args, path: str, *, interpret: bool):
+def eval_member_pfmap(module, p, args, path: str, *, interpret: bool,
+                      plan: _MemberPlan | None = None):
     """Fused evaluation of a pfmap(all_in_one_discriminator) node.
 
     Mirrors ConfigurableModule._node's 'pfmap' contract: returns
     ``({'output': ..., 'features': [...]}, feats)`` where feats carries the
     'all_in_one'-tagged captures in interpreter order. Parameters are
     created through the same NormConv1d names as the interpreter would.
+    ``plan``: the caller's already-parsed _MemberPlan (the gate in
+    ConfigurableModule._node parses to pattern-check; avoid re-parsing).
     """
     from hifigan_tpu.models.layers import NormConv1d
 
-    plan = parse_member(p, path)
+    if plan is None:
+        plan = parse_member(p, path)
 
     raw = args[0]
     _expect(raw.ndim == 3 and raw.shape[-1] == 1, "raw input shape")

@@ -540,12 +540,12 @@ class ConfigurableModule(nn.Module):
                 )
 
                 try:  # static pattern check first: no params created, so a
-                    parse_member(p, path)  # rejected subtree falls back clean
-                except StreamUnsupported:
+                    plan = parse_member(p, path)  # rejected subtree falls
+                except StreamUnsupported:  # back clean
                     pass
                 else:
                     return eval_member_pfmap(
-                        self, p, args, path,
+                        self, p, args, path, plan=plan,
                         interpret=self.member_impl == "fused_interpret",
                     )
             sub_cfg, tags_to_find, feature_models = p

@@ -117,6 +117,11 @@ def _flatten(cfg, path: str, out: list):
 class _RunBuilder:
     def __init__(self, entry_c: int):
         self.run = _Run(entry_c=entry_c)
+        # SSA slots with consumers besides the linear chain (residual
+        # sources, sum-branch entries): an activation may NOT be merged into
+        # their producing op — it would change the value every consumer
+        # reads. Merges into them fall back to an act-only op instead.
+        self._protected: set[int] = set()
         self._widen(entry_c)
 
     def _widen(self, c: int):
@@ -175,6 +180,7 @@ class _RunBuilder:
             return 1, self._emit(_ROp([(slot, "avg", ())], "none", 1.0, None, 1))
         if name in ("res", "sub_res"):
             sub_path = f"{path}_{'res' if name == 'res' else 'sres'}"
+            self._protected.add(slot)
             c2, s2 = self.fuse(p, sub_path, c, slot)
             if c2 != c:
                 raise _Cut("res width change")
@@ -183,6 +189,7 @@ class _RunBuilder:
         if name == "sum":
             outs = []
             c_out = None
+            self._protected.add(slot)
             for i, sub in enumerate(p):
                 ci, si = self.fuse(sub, f"{path}_sum{i}", c, slot)
                 if c_out is None:
@@ -196,9 +203,16 @@ class _RunBuilder:
 
     def _act(self, c, slot, act, slope):
         ops = self.run.ops
-        if slot == len(ops) and slot > 0 and ops[-1].act == "none":
-            ops[-1].act = act
-            ops[-1].slope = slope
+        if (
+            slot == len(ops)
+            and slot > 0
+            and ops[-1].act == "none"
+            and slot not in self._protected
+        ):
+            # rebind (never mutate) so _linearize_run's shallow-list backup
+            # still holds the pristine op if a later atom in this config
+            # node raises _Cut
+            ops[-1] = dataclasses.replace(ops[-1], act=act, slope=slope)
             return c, slot
         return c, self._emit(_ROp([], act, slope, slot, c))
 

@@ -115,7 +115,9 @@ def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
 
     last_stage = stages[-1][0]
     post_pack = None
-    if fold_post and last_stage in packs:
+    # post folding needs the monolithic kernel form — a split last stage
+    # (VMEM-bound wide final stage) keeps the XLA tail instead
+    if fold_post and last_stage in packs and last_stage not in splits:
         post_pack = prepare_post(folded_params["conv_post"], packs[last_stage]["block"])
 
     def cast(p):

@@ -761,7 +761,7 @@ def _bwd_chunks(
 @functools.lru_cache(maxsize=None)
 def _get_stack_core(
     specs: tuple[LayerSpec, ...], t_in: int, c_in: int, n_elems: int,
-    small_t: int, e_small: int, interpret: bool,
+    small_t: int, e_small: int, interpret: bool, itemsize: int,
 ):
     plans = _plans(specs, t_in, c_in, n_elems, small_t, e_small)
     all_lps = [lp for plan in plans for lp in plan.layers]
@@ -771,7 +771,7 @@ def _get_stack_core(
     for plan in plans:
         seg_starts.append(i)
         i += len(plan.layers)
-    bwd_chunks = _bwd_chunks(plans, specs, 2)
+    bwd_chunks = _bwd_chunks(plans, specs, itemsize)
 
     @jax.custom_vjp
     def core(x, *wb):
@@ -904,7 +904,8 @@ def _fused_conv_stack_local(
             biases[-1] = jnp.pad(biases[-1], ((0, pad_out),))
     t_specs = tuple(specs)
     core, plans, all_lps = _get_stack_core(
-        t_specs, t_in, c_in, n_elems, small_t, e_small, bool(interpret)
+        t_specs, t_in, c_in, n_elems, small_t, e_small, bool(interpret),
+        jnp.dtype(x.dtype).itemsize,
     )
     wqs = []
     bs = []

@@ -105,7 +105,11 @@ def create_train_state(h, key: jax.Array, segment_size: int | None = None) -> Vo
     segment_size = segment_size or h["segment_size"]
     frames = segment_size // h["hop_size"]
     gen = Generator(h)
-    mpd, msd = build_discriminators(h)
+    # init through the XLA form: the param tree is impl-independent (the
+    # fused path collects weights through the same NormConv1d names), and
+    # this skips compiling a throwaway B=1 fused Pallas stack (2-15 min per
+    # graph through the dev tunnel)
+    mpd, msd = build_discriminators({**h, "msd_conv_impl": "xla"})
 
     k1, k2, k3 = jax.random.split(key, 3)
     mel0 = jnp.zeros((1, h["num_mels"], frames))

@@ -575,3 +575,28 @@ def test_stream_impl_fallback_on_unsupported_nodes():
     yi = m_i.apply(v, x, rngs={"noise": jax.random.PRNGKey(2)})
     yf = m_f.apply(v, x, rngs={"noise": jax.random.PRNGKey(2)})
     np.testing.assert_allclose(np.asarray(yf), np.asarray(yi), atol=2e-5)
+
+
+def test_stream_impl_res_body_leading_activation():
+    """An activation at the head of a res/sub_res body (or after a cut
+    rollback) must NOT merge into the residual source's producing op —
+    regression for the in-place _act merge (stream_fusion._RunBuilder):
+    res(x) must add x, not lrelu(x)."""
+    cfg = [
+        ("conv", (2, 4, 3, 1, 1, 1, 0.01)),
+        ("res", [("lrelu", 0.1), ("conv", (4, 4, 3, 1, 1, 1, 0.01))]),
+        ("sub_res", [("lrelu", 0.2), ("conv", (4, 4, 3, 1, 1, 1, 0.01))]),
+        ("lrelu", 0.1),
+    ]
+    x = jnp.asarray(
+        np.random.default_rng(11).standard_normal((2, 64, 2)), jnp.float32
+    )
+    m_i = ConfigurableModule(config=cfg)
+    m_f = ConfigurableModule(config=cfg, stream_impl="fused_interpret")
+    v = m_i.init({"params": jax.random.PRNGKey(0)}, x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        m_f.init({"params": jax.random.PRNGKey(0)}, x)
+    )
+    yi = m_i.apply(v, x)
+    yf = m_f.apply(v, x)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yi), atol=2e-5)

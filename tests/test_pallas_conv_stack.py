@@ -348,3 +348,40 @@ def test_backward_chunking_matches_monolithic(monkeypatch):
     finally:
         cs._get_stack_core.cache_clear()
         cs._plans.cache_clear()
+
+
+def test_bwd_chunks_respect_itemsize():
+    """Backward chunking sizes VMEM by the ACTUAL activation itemsize: the
+    f32 plan must never pack chunks larger than the bf16 plan (regression
+    for the hardcoded bf16 itemsize)."""
+    from hifigan_tpu.ops.pallas.conv_stack import _bwd_chunks, _bwd_vmem_bytes, _plans
+
+    specs = tuple(_msd_specs())
+    plans = _plans(specs, 8192, 128, 16, 256, 4)
+    ch2 = _bwd_chunks(plans, specs, 2)
+    ch4 = _bwd_chunks(plans, specs, 4)
+    from hifigan_tpu.ops.pallas.conv_stack import _BWD_VMEM_BUDGET
+
+    for _i0, k, plan in ch4:
+        # multi-layer chunks fit the budget; a single layer is the
+        # irreducible floor (scale-0 layer 0 alone is ~63 MB at f32)
+        if k > 1:
+            assert _bwd_vmem_bytes(plan, 4) <= _BWD_VMEM_BUDGET
+    # the f32 chunking is never coarser than bf16's
+    assert len(ch4) >= len(ch2)
+
+
+def test_fused_conv_stack_mesh_rejects_indivisible_batch():
+    import jax
+    import pytest
+    from jax.sharding import Mesh
+    import numpy as np
+
+    from hifigan_tpu.ops.pallas.conv_stack import LayerSpec, fused_conv_stack
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8, 1), ("data", "model"))
+    specs = [LayerSpec(128, 15, 1, 1, 7, 7, 0.1)]
+    kernels, biases = _make_params(jax.random.PRNGKey(0), specs, 128)
+    x = jnp.zeros((6, 64, 128))  # 6 % 8 != 0
+    with pytest.raises(ValueError, match="not divisible"):
+        fused_conv_stack(x, kernels, biases, specs, interpret=True, mesh=mesh)
