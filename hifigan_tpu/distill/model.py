@@ -89,10 +89,16 @@ class DistillModels:
                                                 compute_dtype=compute_dtype,
                                                 conv_impl=conv_impl,
                                                 member_impl=member_impl)
+        # weight_grads=False: discriminator_eval only ever runs the FROZEN
+        # disc_copy (distill/train.py disc_apply(update=False) — the
+        # reference's no-grad judge copy, lightning_model.py:108-113), so
+        # the fused member kernels' backward may skip every weight-grad dot;
+        # grads still flow to the generated AUDIO through it.
         self.discriminator_eval = ConfigurableModule(config=disc_cfg, update_spectral=False,
                                                      mel_sampling_rate_override=sampling_rate,
                                                      compute_dtype=compute_dtype, conv_impl=conv_impl,
-                                                     member_impl=member_impl)
+                                                     member_impl=member_impl,
+                                                     weight_grads=False)
 
         # classifiers operate on the split halves of the embedding
         half = self.embedding_channels // 2

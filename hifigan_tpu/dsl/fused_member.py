@@ -339,13 +339,14 @@ def _lower_mel_branch(module, sb, mel_cfg, raw, f2, dt, t0):
 class _SegBuilder:
     """Accumulates levels/ops/tables for one fused segment."""
 
-    def __init__(self, interpret: bool):
+    def __init__(self, interpret: bool, weight_grads: bool = True):
         self.levels: list[Level] = []
         self.inputs: list = []  # folded input arrays, level order
         self.ops: list[Op] = []
         self.tables: list = []
         self.biases: list = []
         self.interpret = interpret
+        self.weight_grads = weight_grads
         self.meta: list = []  # (t, c, f) per level, for unfolds
 
     def add_input(self, x, f):
@@ -388,7 +389,7 @@ class _SegBuilder:
         seg = Segment(levels=tuple(self.levels), ops=tuple(self.ops))
         outs = fused_stream_graph(
             seg, self.inputs, self.tables, self.biases,
-            interpret=self.interpret,
+            interpret=self.interpret, weight_grads=self.weight_grads,
         )
         # map produced-level index -> output array
         produced = [i for i, lvl in enumerate(self.levels) if not lvl.is_input]
@@ -400,7 +401,8 @@ class _SegBuilder:
 
 
 def eval_member_pfmap(module, p, args, path: str, *, interpret: bool,
-                      plan: _MemberPlan | None = None):
+                      plan: _MemberPlan | None = None,
+                      weight_grads: bool = True):
     """Fused evaluation of a pfmap(all_in_one_discriminator) node.
 
     Mirrors ConfigurableModule._node's 'pfmap' contract: returns
@@ -454,7 +456,7 @@ def eval_member_pfmap(module, p, args, path: str, *, interpret: bool,
 
     for j, blk in enumerate(plan.blocks):
         f1, f_in, f2 = blk_folds[j]
-        sb = _SegBuilder(interpret)
+        sb = _SegBuilder(interpret, weight_grads)
         jpath = f"{path}_pfm_aiod_{j}"
 
         if j == 0:

@@ -134,6 +134,16 @@ class ConfigurableModule(nn.Module):
     # depends on this flag. 'fused' / 'fused_interpret' opt in; 'auto' stays
     # on the interpreter until measured on hardware.
     stream_impl: str = "auto"
+    # Declare that this module instance's weights are NEVER differentiated
+    # through (frozen-copy evaluation, e.g. DistillModels.discriminator_eval
+    # applied to the trainer's disc_copy): the fused member/stream Pallas
+    # backward kernels then skip every weight-grad dot (~half the backward
+    # MACs) and return zero weight cotangents. XLA cannot DCE inside an
+    # opaque Mosaic call, so the declaration must be explicit. Setting this
+    # False on a module whose params ARE being trained silently zeroes
+    # their grads — only use for frozen copies. No effect on the
+    # interpreter paths (XLA DCEs those on its own).
+    weight_grads: bool = True
     # Internal (vmapped-ensemble support): also return the tagged-feature
     # side channel as a {"{i}|{tags!r}": value} dict so it can cross an
     # nn.vmap boundary (string tags live in the treedef, values are arrays).
@@ -166,6 +176,7 @@ class ConfigurableModule(nn.Module):
             y, feats = eval_stream_fused(
                 self, self.config, args[0], "m",
                 interpret=self.stream_impl == "fused_interpret",
+                weight_grads=self.weight_grads,
             )
         else:
             y, feats = self._eval(self.config, args, "m")
@@ -242,6 +253,7 @@ class ConfigurableModule(nn.Module):
             update_spectral=self.update_spectral,
             conv_impl=self.conv_impl,
             member_impl=self.member_impl,
+            weight_grads=self.weight_grads,
             return_feats=True,
             name=f"{path}_ens",
         )
@@ -547,6 +559,7 @@ class ConfigurableModule(nn.Module):
                     return eval_member_pfmap(
                         self, p, args, path, plan=plan,
                         interpret=self.member_impl == "fused_interpret",
+                        weight_grads=self.weight_grads,
                     )
             sub_cfg, tags_to_find, feature_models = p
             out, f = self._eval(sub_cfg, args, f"{path}_pfm")

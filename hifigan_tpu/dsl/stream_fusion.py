@@ -254,7 +254,8 @@ def _const_kernel(kind, payload, c, dtype):
     raise AssertionError(kind)
 
 
-def _run_fused(module, run: _Run, x, *, interpret: bool):
+def _run_fused(module, run: _Run, x, *, interpret: bool,
+               weight_grads: bool = True):
     """Execute one fused run on a (B, t, c) tensor as one Pallas kernel."""
     from hifigan_tpu.dsl.fused_member import _SegBuilder
     from hifigan_tpu.models.layers import NormConv1d
@@ -264,7 +265,7 @@ def _run_fused(module, run: _Run, x, *, interpret: bool):
     f = run.fold  # shared time fold; level lanes = f * c
     dt = x.dtype
 
-    sb = _SegBuilder(interpret)
+    sb = _SegBuilder(interpret, weight_grads)
     slots = [sb.add_input(x, f)]
     ts = [t0]
     cs = [c0]
@@ -307,7 +308,8 @@ def _run_fused(module, run: _Run, x, *, interpret: bool):
     return sb.unfold(outs, slots[-1])
 
 
-def eval_stream_fused(module, cfg, x, path: str, *, interpret: bool):
+def eval_stream_fused(module, cfg, x, path: str, *, interpret: bool,
+                      weight_grads: bool = True):
     """Evaluate a config with the stream-fusion pass.
 
     Returns (value, feats) with interpreter-identical parameters and
@@ -328,7 +330,8 @@ def eval_stream_fused(module, cfg, x, path: str, *, interpret: bool):
         if c is not None and c <= 384:  # wider convs are MXU-fine on XLA
             run, consumed = _linearize_run(atoms[i:], c)
             if run.n_convs >= 2:
-                val = _run_fused(module, run, val, interpret=interpret)
+                val = _run_fused(module, run, val, interpret=interpret,
+                                 weight_grads=weight_grads)
                 i += consumed
                 continue
         out, f = module._eval(atoms[i][0], (val,), atoms[i][1])

@@ -117,7 +117,8 @@ class DiscriminatorS(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, update_spectral: bool = False
+        self, x: jax.Array, update_spectral: bool = False,
+        weight_grads: bool = True,
     ) -> tuple[jax.Array, list[jax.Array]]:
         norm = "spectral" if self.use_spectral_norm else "weight"
         b = x.shape[0]
@@ -157,7 +158,8 @@ class DiscriminatorS(nn.Module):
             )
         if impl in ("fused_stack", "fused_zoned"):
             return self._fused_stack(
-                x, specs, norm, update_spectral, b, zoned=impl == "fused_zoned"
+                x, specs, norm, update_spectral, b,
+                zoned=impl == "fused_zoned", weight_grads=weight_grads,
             )
         pallas = impl == "pallas"
         fmap = []
@@ -191,7 +193,8 @@ class DiscriminatorS(nn.Module):
         fmap.append(x)
         return x.reshape(b, -1), fmap
 
-    def _fused_stack(self, x, specs, norm, update_spectral, b, zoned=False):
+    def _fused_stack(self, x, specs, norm, update_spectral, b, zoned=False,
+                     weight_grads=True):
         """Whole-stack path: conv_0 in XLA (1->width: sub-lane input), then
         layers 1..6 + conv_post as fused Pallas conv-stack kernels.
 
@@ -276,6 +279,7 @@ class DiscriminatorS(nn.Module):
                 ys = fused_conv_stack(
                     z, zks, zbs, zspecs, interpret=self.conv_interpret,
                     mesh=self.mesh, batch_axis=self.mesh_batch_axis,
+                    weight_grads=weight_grads,
                 )
                 fmap.extend(ys)
                 out = unfold_group_zones(
@@ -291,6 +295,7 @@ class DiscriminatorS(nn.Module):
                 ys = fused_conv_stack(
                     out, kerns, bs, sspecs, interpret=self.conv_interpret,
                     mesh=self.mesh, batch_axis=self.mesh_batch_axis,
+                    weight_grads=weight_grads,
                 )
                 fmap.extend(ys)
                 out = ys[-1]
@@ -357,7 +362,8 @@ class MultiScaleDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(
-        self, y: jax.Array, y_hat: jax.Array, update_spectral: bool = False
+        self, y: jax.Array, y_hat: jax.Array, update_spectral: bool = False,
+        weight_grads: bool = True,
     ) -> tuple[list, list, list, list]:
         b = y.shape[0]
         yy = jnp.concatenate([y, y_hat], axis=0) if self.fused else None
@@ -381,14 +387,14 @@ class MultiScaleDiscriminator(nn.Module):
                 name=f"discriminators_{i}",
             )
             if self.fused:
-                logits, fmap = d(yy, update_spectral)
+                logits, fmap = d(yy, update_spectral, weight_grads)
                 y_d_rs.append(logits[:b])
                 y_d_gs.append(logits[b:])
                 fmap_rs.append([f[:b] for f in fmap])
                 fmap_gs.append([f[b:] for f in fmap])
             else:
-                y_d_r, fmap_r = d(y, update_spectral)
-                y_d_g, fmap_g = d(y_hat, update_spectral)
+                y_d_r, fmap_r = d(y, update_spectral, weight_grads)
+                y_d_g, fmap_g = d(y_hat, update_spectral, weight_grads)
                 y_d_rs.append(y_d_r)
                 y_d_gs.append(y_d_g)
                 fmap_rs.append(fmap_r)

@@ -279,9 +279,11 @@ def _tap_loop(lp: _LayerPlan, xf_ref, w_ref, body_fn):
         for b in range(lp.nb):
             lane0 = (p * c_in if s > 1 else 0) + b * lp.cb_in
             co0 = b * lp.cb_out
-            xsl = xf_ref[
-                pl.ds(lp.st0 + q, lp.rows_out), lane0 : lane0 + lp.cb_in
-            ]
+            xsl = (
+                xf_ref[pl.ds(lp.st0 + q, lp.rows_out), lane0 : lane0 + lp.cb_in]
+                if xf_ref is not None
+                else None  # need_dw=False backward: nothing reads the input
+            )
             w = w_ref[k, b]
             body_fn(k, b, q, lane0, co0, xsl, w)
 
@@ -401,76 +403,86 @@ def _fwd_pallas(plan: _SegmentPlan, x, wqs, biases, *, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(plan: _SegmentPlan, refs):
+def _bwd_kernel(plan: _SegmentPlan, refs, need_dw: bool = True):
     """Top-down zoned sweep: dZ (pre-act cotangent), transposed conv down,
-    in-kernel dW/db accumulated across grid steps."""
+    in-kernel dW/db accumulated across grid steps. ``need_dw=False`` (the
+    generator-update traversal, where the discriminator weights are
+    constants) skips every weight/bias-grad dot and export — XLA cannot DCE
+    inside an opaque Mosaic call, so the split must be explicit here."""
     n = len(plan.layers)
     e = plan.e
     i = 0
-    x_ref = refs[i]; i += 1
+    if need_dw:
+        x_ref = refs[i]; i += 1
     y_refs = refs[i : i + n]; i += n
     dy_refs = refs[i : i + n]; i += n
     w_refs = refs[i : i + n]; i += n
     dx_ref = refs[i]; i += 1
-    dw_refs = refs[i : i + n]; i += n
-    db_refs = refs[i : i + n]; i += n
-    dz_out_refs = refs[i : i + n]; i += n
+    if need_dw:
+        dw_refs = refs[i : i + n]; i += n
+        db_refs = refs[i : i + n]; i += n
+        dz_out_refs = refs[i : i + n]; i += n
     scratch = list(refs[i:])
-    lvl0 = scratch.pop(0)
-    in_refs = []
-    for l, lp in enumerate(plan.layers):
-        if l == 0:
-            in_refs.append(scratch.pop(0) if lp.s > 1 else lvl0)
-        else:
-            in_refs.append(scratch.pop(0))
+    in_refs = [None] * n
+    if need_dw:
+        lvl0 = scratch.pop(0)
+        in_refs = []
+        for l, lp in enumerate(plan.layers):
+            if l == 0:
+                in_refs.append(scratch.pop(0) if lp.s > 1 else lvl0)
+            else:
+                in_refs.append(scratch.pop(0))
     da_refs = scratch[:n]  # layer l's input-cotangent, folded iff s_l > 1
     dz_refs = scratch[n : 2 * n]  # (rows_out, c_out) f32
 
     gi = pl.program_id(0)
 
-    # ---- rebuild zoned forward input levels (same as fwd) ----
-    lvl0[...] = jnp.zeros_like(lvl0)
-    for j in range(e):
-        a = plan.lead_in + j * plan.z_in + plan.g_in
-        lvl0[a : a + plan.t_in, :] = x_ref[j]
-    lp0 = plan.layers[0]
-    if lp0.s > 1:
-        in_refs[0][...] = lvl0[...].reshape(
-            lp0.rows_in // lp0.s, lp0.s * lp0.c_in
-        )
-    for l in range(1, n):
-        lp_prev, lp = plan.layers[l - 1], plan.layers[l]
-        tgt = in_refs[l]
-        tgt[...] = jnp.zeros_like(tgt)
-        if lp.s > 1:
-            # scatter y into the folded layout: fold maps valid unfolded rows
-            # [a, a+t) to folded rows [a//s ...] with static per-row phases;
-            # write per element via an unfolded staging view is not available,
-            # so stage through dz scratch? Instead: write rows in stride-s
-            # row groups. Simpler and exact: build unfolded in the (reused)
-            # dz scratch of the PREVIOUS layer (same shape), then fold.
-            stage = dz_refs[l - 1]  # (rows_in, c_in) f32 — correct shape
-            stage[...] = jnp.zeros_like(stage)
-            for j in range(e):
-                a = lp_prev.lead_out + j * lp_prev.z_out + lp_prev.g_out
-                stage[a : a + lp_prev.t_out, :] = (
-                    y_refs[l - 1][j].astype(jnp.float32)
-                )
-            tgt[...] = (
-                stage[...]
-                .reshape(lp.rows_in // lp.s, lp.s * lp.c_in)
-                .astype(tgt.dtype)
+    if need_dw:
+        # ---- rebuild zoned forward input levels (same as fwd); only the
+        # weight-grad dots read them ----
+        lvl0[...] = jnp.zeros_like(lvl0)
+        for j in range(e):
+            a = plan.lead_in + j * plan.z_in + plan.g_in
+            lvl0[a : a + plan.t_in, :] = x_ref[j]
+        lp0 = plan.layers[0]
+        if lp0.s > 1:
+            in_refs[0][...] = lvl0[...].reshape(
+                lp0.rows_in // lp0.s, lp0.s * lp0.c_in
             )
-        else:
-            for j in range(e):
-                a = lp_prev.lead_out + j * lp_prev.z_out + lp_prev.g_out
-                tgt[a : a + lp_prev.t_out, :] = y_refs[l - 1][j]
+        for l in range(1, n):
+            lp_prev, lp = plan.layers[l - 1], plan.layers[l]
+            tgt = in_refs[l]
+            tgt[...] = jnp.zeros_like(tgt)
+            if lp.s > 1:
+                # scatter y into the folded layout: fold maps valid unfolded
+                # rows [a, a+t) to folded rows [a//s ...] with static per-row
+                # phases; write per element via an unfolded staging view is
+                # not available, so stage through dz scratch? Instead: write
+                # rows in stride-s row groups. Simpler and exact: build
+                # unfolded in the (reused) dz scratch of the PREVIOUS layer
+                # (same shape), then fold.
+                stage = dz_refs[l - 1]  # (rows_in, c_in) f32 — correct shape
+                stage[...] = jnp.zeros_like(stage)
+                for j in range(e):
+                    a = lp_prev.lead_out + j * lp_prev.z_out + lp_prev.g_out
+                    stage[a : a + lp_prev.t_out, :] = (
+                        y_refs[l - 1][j].astype(jnp.float32)
+                    )
+                tgt[...] = (
+                    stage[...]
+                    .reshape(lp.rows_in // lp.s, lp.s * lp.c_in)
+                    .astype(tgt.dtype)
+                )
+            else:
+                for j in range(e):
+                    a = lp_prev.lead_out + j * lp_prev.z_out + lp_prev.g_out
+                    tgt[a : a + lp_prev.t_out, :] = y_refs[l - 1][j]
 
-    @pl.when(gi == 0)
-    def _init():
-        for l in range(n):
-            dw_refs[l][...] = jnp.zeros_like(dw_refs[l])
-            db_refs[l][...] = jnp.zeros_like(db_refs[l])
+        @pl.when(gi == 0)
+        def _init():
+            for l in range(n):
+                dw_refs[l][...] = jnp.zeros_like(dw_refs[l])
+                db_refs[l][...] = jnp.zeros_like(db_refs[l])
 
     for l in range(n - 1, -1, -1):
         lp = plan.layers[l]
@@ -492,21 +504,22 @@ def _bwd_kernel(plan: _SegmentPlan, refs):
                     yv >= 0.0, 1.0, lp.spec.slope
                 )
         dz[...] = _apply_valid_mask(dz[...], lp, e)
-        if not lp.dw_in_kernel:
-            for j in range(e):
-                a = lp.lead_out + j * lp.z_out + lp.g_out
-                dz_out_refs[l][j] = dz[a : a + lp.t_out, :].astype(
-                    dz_out_refs[l].dtype
-                )
-        db_refs[l][...] += jnp.sum(dz[...], axis=0, keepdims=True)
+        if need_dw:
+            if not lp.dw_in_kernel:
+                for j in range(e):
+                    a = lp.lead_out + j * lp.z_out + lp.g_out
+                    dz_out_refs[l][j] = dz[a : a + lp.t_out, :].astype(
+                        dz_out_refs[l].dtype
+                    )
+            db_refs[l][...] += jnp.sum(dz[...], axis=0, keepdims=True)
 
         da = da_refs[l]
         da[...] = jnp.zeros_like(da)
-        dzv = dz[...].astype(x_ref.dtype)
+        dzv = dz[...].astype(dx_ref.dtype)
 
         def bwd_body(k, b, q, lane0, co0, xsl, w, lp=lp, l=l, dzv=dzv, da=da):
             dzb = dzv[:, co0 : co0 + lp.cb_out]
-            if lp.dw_in_kernel:
+            if need_dw and lp.dw_in_kernel:
                 dw = jax.lax.dot_general(
                     xsl, dzb, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -531,15 +544,20 @@ def _bwd_kernel(plan: _SegmentPlan, refs):
         dx_ref[j] = d0[a : a + plan.t_in, :].astype(dx_ref.dtype)
 
 
-def _bwd_pallas(plan: _SegmentPlan, x, ys, dys, wqs, *, interpret: bool):
+def _bwd_pallas(
+    plan: _SegmentPlan, x, ys, dys, wqs, *, interpret: bool,
+    need_dw: bool = True,
+):
     n = len(plan.layers)
     n_elems = x.shape[0]
     grid = (n_elems // plan.e,)
     dt = x.dtype
 
-    in_specs = [
-        pl.BlockSpec((plan.e, plan.t_in, plan.c_in), lambda gi: (gi, 0, 0))
-    ]
+    in_specs = []
+    if need_dw:  # the input levels only feed the weight-grad dots
+        in_specs.append(
+            pl.BlockSpec((plan.e, plan.t_in, plan.c_in), lambda gi: (gi, 0, 0))
+        )
     for lp in plan.layers:  # y
         in_specs.append(
             pl.BlockSpec((plan.e, lp.t_out, lp.spec.c_out),
@@ -557,35 +575,44 @@ def _bwd_pallas(plan: _SegmentPlan, x, ys, dys, wqs, *, interpret: bool):
         pl.BlockSpec((plan.e, plan.t_in, plan.c_in), lambda gi: (gi, 0, 0))
     ]
     out_shape = [jax.ShapeDtypeStruct((n_elems, plan.t_in, plan.c_in), dt)]
-    for lp in plan.layers:  # dwq accumulators (dummy-small when XLA dW)
-        shp = lp.wq_shape if lp.dw_in_kernel else (1, 1, 8, 128)
-        out_specs.append(pl.BlockSpec(shp, lambda gi: (0,) * len(shp)))
-        out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
-    for lp in plan.layers:  # dbias
-        out_specs.append(pl.BlockSpec((1, lp.spec.c_out), lambda gi: (0, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((1, lp.spec.c_out), jnp.float32))
-    for lp in plan.layers:  # dz exports (dummy-small when dW in kernel)
-        if lp.dw_in_kernel:
-            out_specs.append(pl.BlockSpec((plan.e, 8, 128),
-                                          lambda gi: (gi, 0, 0)))
-            out_shape.append(
-                jax.ShapeDtypeStruct((n_elems, 8, 128), dt)
-            )
-        else:
+    if need_dw:
+        for lp in plan.layers:  # dwq accumulators (dummy-small when XLA dW)
+            shp = lp.wq_shape if lp.dw_in_kernel else (1, 1, 8, 128)
+            out_specs.append(pl.BlockSpec(shp, lambda gi: (0,) * len(shp)))
+            out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
+        for lp in plan.layers:  # dbias
             out_specs.append(
-                pl.BlockSpec((plan.e, lp.t_out, lp.spec.c_out),
-                             lambda gi: (gi, 0, 0))
+                pl.BlockSpec((1, lp.spec.c_out), lambda gi: (0, 0))
             )
             out_shape.append(
-                jax.ShapeDtypeStruct((n_elems, lp.t_out, lp.spec.c_out), dt)
+                jax.ShapeDtypeStruct((1, lp.spec.c_out), jnp.float32)
             )
+        for lp in plan.layers:  # dz exports (dummy-small when dW in kernel)
+            if lp.dw_in_kernel:
+                out_specs.append(pl.BlockSpec((plan.e, 8, 128),
+                                              lambda gi: (gi, 0, 0)))
+                out_shape.append(
+                    jax.ShapeDtypeStruct((n_elems, 8, 128), dt)
+                )
+            else:
+                out_specs.append(
+                    pl.BlockSpec((plan.e, lp.t_out, lp.spec.c_out),
+                                 lambda gi: (gi, 0, 0))
+                )
+                out_shape.append(
+                    jax.ShapeDtypeStruct((n_elems, lp.t_out, lp.spec.c_out), dt)
+                )
 
-    scratch = [pltpu.VMEM((plan.rows_in, plan.c_in), dt)]
-    for l, lp in enumerate(plan.layers):
-        if lp.s > 1:
-            scratch.append(pltpu.VMEM((lp.rows_in // lp.s, lp.s * lp.c_in), dt))
-        elif l > 0:
-            scratch.append(pltpu.VMEM((lp.rows_in, lp.c_in), dt))
+    scratch = []
+    if need_dw:  # forward-input rebuild levels (weight-grad dots only)
+        scratch.append(pltpu.VMEM((plan.rows_in, plan.c_in), dt))
+        for l, lp in enumerate(plan.layers):
+            if lp.s > 1:
+                scratch.append(
+                    pltpu.VMEM((lp.rows_in // lp.s, lp.s * lp.c_in), dt)
+                )
+            elif l > 0:
+                scratch.append(pltpu.VMEM((lp.rows_in, lp.c_in), dt))
     for lp in plan.layers:  # da (folded iff the layer strides)
         if lp.s > 1:
             scratch.append(
@@ -596,8 +623,9 @@ def _bwd_pallas(plan: _SegmentPlan, x, ys, dys, wqs, *, interpret: bool):
     for lp in plan.layers:  # dz
         scratch.append(pltpu.VMEM((lp.rows_out, lp.spec.c_out), jnp.float32))
 
+    operands = ([x] if need_dw else []) + [*ys, *dys, *wqs]
     outs = pl.pallas_call(
-        lambda *refs: _bwd_kernel(plan, refs),
+        lambda *refs: _bwd_kernel(plan, refs, need_dw=need_dw),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -608,7 +636,7 @@ def _bwd_pallas(plan: _SegmentPlan, x, ys, dys, wqs, *, interpret: bool):
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x, *ys, *dys, *wqs)
+    )(*operands)
     return outs
 
 
@@ -705,26 +733,36 @@ def _xla_dw(x_in: jax.Array, dz: jax.Array, lp: _LayerPlan) -> jax.Array:
 _BWD_VMEM_BUDGET = 60 * 1024 * 1024
 
 
-def _bwd_vmem_bytes(plan: _SegmentPlan, itemsize: int) -> int:
-    """Static VMEM estimate of one backward chunk (IO windows double-buffer)."""
-    b = itemsize * plan.rows_in * plan.c_in  # lvl0 scratch
-    b += 4 * itemsize * plan.e * plan.t_in * plan.c_in  # x in + dx out, 2x buf
+def _bwd_vmem_bytes(
+    plan: _SegmentPlan, itemsize: int, need_dw: bool = True
+) -> int:
+    """Static VMEM estimate of one backward chunk (IO windows double-buffer).
+
+    ``need_dw=False`` drops the forward-input rebuild scratch, the x input
+    window, the dW accumulators and the dz exports — chunks fuse more layers.
+    """
+    b = 2 * itemsize * plan.e * plan.t_in * plan.c_in  # dx out, 2x buf
+    if need_dw:
+        b += itemsize * plan.rows_in * plan.c_in  # lvl0 scratch
+        b += 2 * itemsize * plan.e * plan.t_in * plan.c_in  # x in, 2x buf
     for lp in plan.layers:
         wq = int(np.prod(lp.wq_shape))
         b += itemsize * wq
-        if lp.dw_in_kernel:
-            b += 4 * wq  # f32 accumulator held across the grid
-        else:
-            b += 2 * itemsize * plan.e * lp.t_out * lp.spec.c_out  # dz export
+        if need_dw:
+            if lp.dw_in_kernel:
+                b += 4 * wq  # f32 accumulator held across the grid
+            else:
+                b += 2 * itemsize * plan.e * lp.t_out * lp.spec.c_out  # dz out
+            b += itemsize * lp.rows_in * lp.c_in  # in_ref scratch
         b += 4 * itemsize * plan.e * lp.t_out * lp.spec.c_out  # y + dy windows
-        b += itemsize * lp.rows_in * lp.c_in  # in_ref scratch
         b += 4 * lp.rows_in * lp.c_in  # da f32
         b += 4 * lp.rows_out * lp.spec.c_out  # dz f32
     return b
 
 
 def _bwd_chunks(
-    plans: tuple, specs: tuple[LayerSpec, ...], itemsize: int
+    plans: tuple, specs: tuple[LayerSpec, ...], itemsize: int,
+    need_dw: bool = True,
 ) -> list[tuple[int, int, _SegmentPlan]]:
     """Partition each forward segment's layers into backward chunks that fit
     the VMEM budget: [(global_start, n_layers, chunk_plan)]. The forward
@@ -748,7 +786,7 @@ def _bwd_chunks(
                     tuple(lp.spec for lp in lps[start : end + 1]),
                     lps[start].t_in, lps[start].c_in, plan.e,
                 )
-                if _bwd_vmem_bytes(cand, itemsize) > _BWD_VMEM_BUDGET:
+                if _bwd_vmem_bytes(cand, itemsize, need_dw) > _BWD_VMEM_BUDGET:
                     break
                 best = cand
                 end += 1
@@ -762,6 +800,7 @@ def _bwd_chunks(
 def _get_stack_core(
     specs: tuple[LayerSpec, ...], t_in: int, c_in: int, n_elems: int,
     small_t: int, e_small: int, interpret: bool, itemsize: int,
+    need_dw: bool = True,
 ):
     plans = _plans(specs, t_in, c_in, n_elems, small_t, e_small)
     all_lps = [lp for plan in plans for lp in plan.layers]
@@ -771,7 +810,7 @@ def _get_stack_core(
     for plan in plans:
         seg_starts.append(i)
         i += len(plan.layers)
-    bwd_chunks = _bwd_chunks(plans, specs, itemsize)
+    bwd_chunks = _bwd_chunks(plans, specs, itemsize, need_dw)
 
     @jax.custom_vjp
     def core(x, *wb):
@@ -806,9 +845,17 @@ def _get_stack_core(
                 seg_dys[-1] = seg_dys[-1] + upstream
             seg_wqs = list(wqs[i0 : i0 + k])
             outs = _bwd_pallas(
-                plan, chunk_x, seg_ys, seg_dys, seg_wqs, interpret=interpret
+                plan, chunk_x, seg_ys, seg_dys, seg_wqs, interpret=interpret,
+                need_dw=need_dw,
             )
             upstream = outs[0]
+            if not need_dw:
+                # caller promised the weights are not being differentiated
+                # (generator-update traversal); hand back symbolic zeros
+                for j, lp in enumerate(plan.layers):
+                    dwqs[i0 + j] = jnp.zeros(lp.wq_shape, seg_wqs[j].dtype)
+                    dbs[i0 + j] = jnp.zeros((1, lp.spec.c_out), jnp.float32)
+                continue
             seg_dwq = outs[1 : 1 + k]
             seg_db = outs[1 + k : 1 + 2 * k]
             seg_dz = outs[1 + 2 * k : 1 + 3 * k]
@@ -838,6 +885,7 @@ def fused_conv_stack(
     interpret: bool = False,
     mesh: jax.sharding.Mesh | None = None,
     batch_axis: str = "data",
+    weight_grads: bool = True,
 ) -> list[jax.Array]:
     """Run a sequential conv1d(+leaky-relu) stack as 1-2 fused Pallas kernels.
 
@@ -855,6 +903,15 @@ def fused_conv_stack(
     unchanged single-chip kernel on its local batch shard, and the shard_map
     transpose inserts the weight-grad psum. Requires N divisible by the
     axis size.
+
+    ``weight_grads=False`` declares that the kernels/biases are NOT being
+    differentiated through this call (e.g. the GAN generator update, where
+    the discriminator weights are frozen constants): the backward kernel
+    then skips every weight/bias-grad dot, the forward-input rebuild and
+    the x DMA — roughly half the backward MACs — and returns ZERO weight
+    cotangents. XLA cannot DCE inside an opaque Mosaic call, so this must
+    be declared; using it while actually differentiating the weights gives
+    silently zero weight grads.
     """
     if mesh is not None and mesh.shape.get(batch_axis, 1) > 1:
         from jax.sharding import PartitionSpec as P
@@ -868,7 +925,7 @@ def fused_conv_stack(
         local = functools.partial(
             _fused_conv_stack_local,
             specs=tuple(specs), small_t=small_t, e_small=e_small,
-            interpret=interpret,
+            interpret=interpret, weight_grads=weight_grads,
         )
         sharded = jax.shard_map(
             local, mesh=mesh,
@@ -883,11 +940,13 @@ def fused_conv_stack(
     return _fused_conv_stack_local(
         x, list(kernels), list(biases), specs=tuple(specs),
         small_t=small_t, e_small=e_small, interpret=interpret,
+        weight_grads=weight_grads,
     )
 
 
 def _fused_conv_stack_local(
-    x, kernels, biases, *, specs, small_t, e_small, interpret
+    x, kernels, biases, *, specs, small_t, e_small, interpret,
+    weight_grads=True,
 ):
     """Single-device body of fused_conv_stack (runs per-shard under a mesh)."""
     specs = list(specs)
@@ -905,7 +964,7 @@ def _fused_conv_stack_local(
     t_specs = tuple(specs)
     core, plans, all_lps = _get_stack_core(
         t_specs, t_in, c_in, n_elems, small_t, e_small, bool(interpret),
-        jnp.dtype(x.dtype).itemsize,
+        jnp.dtype(x.dtype).itemsize, bool(weight_grads),
     )
     wqs = []
     bs = []

@@ -420,7 +420,11 @@ def _fwd_pallas(plan: _Plan, inputs, tables, biases, *, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(plan: _Plan, n_in: int, n_tab: int, refs):
+def _bwd_kernel(plan: _Plan, n_in: int, n_tab: int, refs, need_dw: bool = True):
+    """``need_dw=False`` (frozen-weight traversal, e.g. the distill
+    trainer's discriminator-copy pass on generated audio) skips every
+    weight/bias-grad dot and export — XLA cannot DCE inside an opaque
+    Mosaic call, so the split must be declared by the caller."""
     seg = plan.seg
     n_lvl = len(seg.levels)
     n_ops = len(seg.ops)
@@ -431,8 +435,9 @@ def _bwd_kernel(plan: _Plan, n_in: int, n_tab: int, refs):
     dy_refs = refs[i : i + n_out]; i += n_out
     tab_refs = refs[i : i + n_tab]; i += n_tab
     dx_refs = refs[i : i + n_in]; i += n_in
-    dtab_refs = refs[i : i + n_tab]; i += n_tab
-    db_refs = refs[i : i + n_ops]; i += n_ops
+    if need_dw:
+        dtab_refs = refs[i : i + n_tab]; i += n_tab
+        db_refs = refs[i : i + n_ops]; i += n_ops
     scratch = list(refs[i:])
     lvl_refs = scratch[:n_lvl]
     da_refs = scratch[n_lvl : 2 * n_lvl]  # f32 cotangent per level
@@ -455,12 +460,13 @@ def _bwd_kernel(plan: _Plan, n_in: int, n_tab: int, refs):
         else:
             oi_exp += 1
 
-    @pl.when(gi == 0)
-    def _init():
-        for r in dtab_refs:
-            r[...] = jnp.zeros_like(r)
-        for r in db_refs:
-            r[...] = jnp.zeros_like(r)
+    if need_dw:
+        @pl.when(gi == 0)
+        def _init():
+            for r in dtab_refs:
+                r[...] = jnp.zeros_like(r)
+            for r in db_refs:
+                r[...] = jnp.zeros_like(r)
 
     # ---- init cotangents with the external dy of every produced level ----
     oi_exp = 0
@@ -496,7 +502,8 @@ def _bwd_kernel(plan: _Plan, n_in: int, n_tab: int, refs):
             dz, lvl_refs[op.out][...].astype(jnp.float32), op, src_val
         )
         dz = _valid_mask(dz, lvl, plan, plan.lead[op.out], plan.guard[op.out])
-        db_refs[oi][...] += jnp.sum(dz, axis=0, keepdims=True)
+        if need_dw:
+            db_refs[oi][...] += jnp.sum(dz, axis=0, keepdims=True)
         dzt = dz.astype(in_refs[0].dtype) if in_refs else dz.astype(
             y_refs[0].dtype
         )
@@ -504,11 +511,12 @@ def _bwd_kernel(plan: _Plan, n_in: int, n_tab: int, refs):
             st0 = plan.st0[oi][ei]
             src = lvl_refs[ed.src]
             for q in range(ed.kk):
-                xsl = src[pl.ds(st0 + q, rows_out), :]
-                dtab_refs[tab_base[oi] + ei][q] += jax.lax.dot_general(
-                    xsl, dzt, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                if need_dw:
+                    xsl = src[pl.ds(st0 + q, rows_out), :]
+                    dtab_refs[tab_base[oi] + ei][q] += jax.lax.dot_general(
+                        xsl, dzt, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
                 da_refs[ed.src][pl.ds(st0 + q, rows_out), :] += (
                     jax.lax.dot_general(
                         dzt, tab_refs[tab_base[oi] + ei][q],
@@ -533,7 +541,8 @@ def _bwd_kernel(plan: _Plan, n_in: int, n_tab: int, refs):
         ii += 1
 
 
-def _bwd_pallas(plan: _Plan, inputs, ys, dys, tables, *, interpret: bool):
+def _bwd_pallas(plan: _Plan, inputs, ys, dys, tables, *, interpret: bool,
+                need_dw: bool = True):
     seg = plan.seg
     n_in = len(inputs)
     n_tab = len(tables)
@@ -575,13 +584,14 @@ def _bwd_pallas(plan: _Plan, inputs, ys, dys, tables, *, interpret: bool):
             out_shape.append(
                 jax.ShapeDtypeStruct((n_elems, lvl.t_rows, lvl.lanes), dt)
             )
-    for t in tables:  # f32 dW accumulators, held across grid steps
-        out_specs.append(pl.BlockSpec(t.shape, lambda gi: (0, 0, 0)))
-        out_shape.append(jax.ShapeDtypeStruct(t.shape, jnp.float32))
-    for op in seg.ops:  # f32 dbias
-        lanes = seg.levels[op.out].lanes
-        out_specs.append(pl.BlockSpec((1, lanes), lambda gi: (0, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((1, lanes), jnp.float32))
+    if need_dw:
+        for t in tables:  # f32 dW accumulators, held across grid steps
+            out_specs.append(pl.BlockSpec(t.shape, lambda gi: (0, 0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct(t.shape, jnp.float32))
+        for op in seg.ops:  # f32 dbias
+            lanes = seg.levels[op.out].lanes
+            out_specs.append(pl.BlockSpec((1, lanes), lambda gi: (0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((1, lanes), jnp.float32))
 
     scratch = [
         pltpu.VMEM((plan.rows[li], lvl.lanes), dt)
@@ -592,7 +602,7 @@ def _bwd_pallas(plan: _Plan, inputs, ys, dys, tables, *, interpret: bool):
         for li, lvl in enumerate(seg.levels)
     ]
     outs = pl.pallas_call(
-        lambda *refs: _bwd_kernel(plan, n_in, n_tab, refs),
+        lambda *refs: _bwd_kernel(plan, n_in, n_tab, refs, need_dw=need_dw),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -615,7 +625,8 @@ _VMEM_BUDGET = 60 * 1024 * 1024
 
 
 @functools.lru_cache(maxsize=None)
-def _get_core(seg: Segment, n_elems: int, itemsize: int, interpret: bool):
+def _get_core(seg: Segment, n_elems: int, itemsize: int, interpret: bool,
+              need_dw: bool = True):
     # largest e dividing the batch whose backward fits the VMEM budget
     # (the backward holds value + f32 cotangent scratch per level)
     plan = None
@@ -652,8 +663,19 @@ def _get_core(seg: Segment, n_elems: int, itemsize: int, interpret: bool):
         dt = (inputs[0] if inputs else ys[0]).dtype
         dys = [jnp.asarray(d, dt) for d in dys]
         outs = _bwd_pallas(plan, list(inputs), list(ys), dys, list(tables),
-                           interpret=interpret)
+                           interpret=interpret, need_dw=need_dw)
         dxs = outs[:n_in]
+        if not need_dw:
+            # caller declared the tables/biases frozen (copy-pass traversal):
+            # hand back symbolic zeros
+            return (
+                *[dx.astype(dt) for dx in dxs],
+                *[jnp.zeros(t.shape, t.dtype) for t in tables],
+                *[
+                    jnp.zeros((1, seg.levels[op.out].lanes), jnp.float32)
+                    for op in seg.ops
+                ],
+            )
         dtabs = outs[n_in : n_in + n_tab]
         dbs = outs[n_in + n_tab :]
         return (
@@ -673,6 +695,7 @@ def fused_stream_graph(
     biases: Sequence[jax.Array],
     *,
     interpret: bool = False,
+    weight_grads: bool = True,
 ) -> list[jax.Array]:
     """Run one stream-graph segment as a single fused Pallas kernel.
 
@@ -684,10 +707,17 @@ def fused_stream_graph(
     biases: one (1, L_out) f32 per op (zero where the op has no bias).
     Returns every produced level as (N, t_rows, lanes), in level order.
     Differentiable via a fused custom-VJP backward kernel.
+
+    ``weight_grads=False`` declares that tables/biases are NOT being
+    differentiated through this call (e.g. the distill trainer's frozen
+    discriminator-copy pass): the backward kernel skips every weight-grad
+    dot (~half its MACs) and returns ZERO table/bias cotangents — using it
+    while actually differentiating the weights gives silently zero grads.
     """
     n_elems = inputs[0].shape[0]
     dt = inputs[0].dtype
-    core = _get_core(seg, n_elems, jnp.dtype(dt).itemsize, bool(interpret))
+    core = _get_core(seg, n_elems, jnp.dtype(dt).itemsize, bool(interpret),
+                     bool(weight_grads))
     tables = [t.astype(dt) for t in tables]
     biases = [b.astype(jnp.float32) for b in biases]
     return list(core(*inputs, *tables, *biases))

@@ -207,11 +207,16 @@ def make_train_step(h, mesh: Mesh | None = None, donate: bool | None = None,
             (_, y_df_g, fmap_f_r, fmap_f_g), _ = mpd.apply(
                 {"params": params_d["mpd"]}, y, y_hat, True, mutable=["spectral"]
             )
+            # weight_grads=False: this traversal differentiates only wrt
+            # y_hat (D params are frozen constants here), so the fused MSD
+            # backward kernels skip every weight-grad dot — XLA cannot DCE
+            # inside a Mosaic call, hence the explicit declaration.
             (_, y_ds_g, fmap_s_r, fmap_s_g), spec2 = msd.apply(
                 {"params": params_d["msd"], "spectral": spec1},
                 y,
                 y_hat,
                 True,
+                False,
                 mutable=["spectral"],
             )
             loss_fm_f = feature_loss(fmap_f_r, fmap_f_g)

@@ -464,14 +464,45 @@ def test_discriminator_conv_impl_folded_parity():
         )
 
 
+def _member_fusable_disc_config(ensemble_size=2):
+    """A small discriminator config the member pattern-matcher ACCEPTS
+    (asserted — parse_member silently falls back on rejected subtrees,
+    which would make the fused-path parity tests vacuous; the original
+    round-3 test config was rejected with 'head0 channels' and tested
+    nothing)."""
+    from hifigan_tpu.dsl.fused_member import parse_member
+    from hifigan_tpu.dsl.normalize import normalize_config
+
+    layers = parse_layers(
+        ["roll:1,9,1", "roll:1,5,2", "roll:2,5,2", "all:3,5,2", "roll:4,3,1"]
+    )
+    cfg = get_discriminator_config(
+        layers, expansion_size=1, ensemble_size=ensemble_size
+    )
+    found = []
+
+    def walk(c):
+        if isinstance(c, tuple):
+            if len(c) >= 2 and c[0] == "#node" and c[1] == "pfmap":
+                found.append(c[2])
+                return
+            for s in c:
+                if isinstance(s, tuple):
+                    walk(s)
+
+    walk(normalize_config(cfg))
+    plan = parse_member(found[0], "t")  # raises StreamUnsupported if drifted
+    assert len(plan.blocks) == 3
+    return cfg
+
+
 def test_discriminator_member_impl_fused_parity():
     """member_impl='fused_interpret' (whole-member Pallas stream-graph
     lowering, dsl/fused_member.py) computes the identical discriminator:
     same param tree, same outputs/features, same grads — including the
     rechannel transitions, roll/mel raw branches, residuals and pfmap heads
     of the all-in-one family."""
-    layers = parse_layers(["roll:1,5,1", "roll:2,5,2", "all:3,5,1", "roll:4,3,1"])
-    cfg = get_discriminator_config(layers, expansion_size=1, ensemble_size=2)
+    cfg = _member_fusable_disc_config()
     x = jnp.asarray(
         np.random.default_rng(5).standard_normal((2, 144, 1)), jnp.float32
     )
@@ -600,3 +631,45 @@ def test_stream_impl_res_body_leading_activation():
     yi = m_i.apply(v, x)
     yf = m_f.apply(v, x)
     np.testing.assert_allclose(np.asarray(yf), np.asarray(yi), atol=2e-5)
+
+
+def test_discriminator_weight_grads_false_input_parity():
+    """weight_grads=False on a fused-member discriminator (the distill
+    trainer's frozen disc_copy pass): grads wrt the INPUT audio match the
+    interpreter exactly while the backward kernels skip every weight-grad
+    dot (param cotangents become declared-zero)."""
+    cfg = _member_fusable_disc_config()
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 144, 1)), jnp.float32
+    )
+    m_ref = ConfigurableModule(config=cfg, mel_sampling_rate_override=16000)
+    m_nodw = ConfigurableModule(config=cfg, mel_sampling_rate_override=16000,
+                                member_impl="fused_interpret",
+                                weight_grads=False)
+    v = m_ref.init({"params": jax.random.PRNGKey(0)}, x,
+                   mutable=["params", "spectral", "valves"])
+
+    def loss(x, m):
+        out = m.apply(v, x, mutable=["spectral"])[0]
+        return sum(
+            jnp.sum(jnp.abs(leaf))
+            for leaf in jax.tree_util.tree_leaves(out["output"])
+        ) + 0.1 * sum(
+            jnp.mean(jnp.abs(f))
+            for f in jax.tree_util.tree_leaves(out["features"])
+        )
+
+    gr = jax.grad(loss)(x, m_ref)
+    gf = jax.grad(loss)(x, m_nodw)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=2e-3, atol=2e-4)
+    # param cotangents through the declared-frozen module are zero
+    gp = jax.grad(
+        lambda vv: m_nodw.apply(vv, x, mutable=["spectral"])[0]["output"][
+            "mean"]["output"].sum()
+    )(v)
+    mx = max(
+        float(jnp.max(jnp.abs(l)))
+        for l in jax.tree_util.tree_leaves(gp["params"])
+    )
+    assert mx == 0.0

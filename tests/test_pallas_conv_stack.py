@@ -385,3 +385,67 @@ def test_fused_conv_stack_mesh_rejects_indivisible_batch():
     x = jnp.zeros((6, 64, 128))  # 6 % 8 != 0
     with pytest.raises(ValueError, match="not divisible"):
         fused_conv_stack(x, kernels, biases, specs, interpret=True, mesh=mesh)
+
+
+def test_fused_stack_input_grads_only():
+    """weight_grads=False (the generator-update traversal: discriminator
+    weights are frozen constants) still produces exact INPUT grads while
+    the backward kernels skip every weight-grad dot; the weight/bias
+    cotangents it hands back are declared-zero."""
+    specs = _msd_specs()
+    kernels, biases = _make_params(jax.random.PRNGKey(12), specs, 128)
+    x = jax.random.normal(jax.random.PRNGKey(13), (2, 256, 128))
+    weights = [0.3 + 0.1 * i for i in range(len(specs))]
+
+    def loss(x, weight_grads):
+        ys = fused_conv_stack(x, kernels, biases, specs, interpret=True,
+                              weight_grads=weight_grads)
+        return sum(w * jnp.sum(jnp.abs(y.astype(jnp.float32)))
+                   for w, y in zip(weights, ys))
+
+    def loss_ref(x):
+        ys = _ref_chain(x, kernels, biases, specs)
+        return sum(w * jnp.sum(jnp.abs(y.astype(jnp.float32)))
+                   for w, y in zip(weights, ys))
+
+    g_nodw = jax.grad(lambda x: loss(x, False))(x)
+    g_ref = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(g_nodw), np.asarray(g_ref),
+                               rtol=5e-4, atol=5e-4, err_msg="dx (no dw)")
+
+
+def test_fused_stack_weight_grads_false_returns_zero_dw():
+    specs = _msd_specs()[:3]
+    kernels, biases = _make_params(jax.random.PRNGKey(14), specs, 128)
+    x = jax.random.normal(jax.random.PRNGKey(15), (2, 256, 128))
+
+    def loss(ks):
+        ys = fused_conv_stack(x, ks, biases, specs, interpret=True,
+                              weight_grads=False)
+        return jnp.sum(jnp.abs(ys[-1].astype(jnp.float32)))
+
+    gk = jax.grad(loss)(kernels)
+    for i, g in enumerate(gk):
+        assert float(jnp.max(jnp.abs(g))) == 0.0, f"dW {i} not zero"
+
+
+def test_discriminator_s_fused_input_grads_only_parity():
+    """DiscriminatorS(weight_grads=False) input-grad parity with the XLA
+    path — the exact shape of the train step's generator update."""
+    from hifigan_tpu.models.discriminators import DiscriminatorS
+
+    d_ref = DiscriminatorS()
+    d_fused = DiscriminatorS(conv_impl="fused_stack", conv_interpret=True)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(16), (2, 512))
+    v = d_ref.init(jax.random.PRNGKey(0), x)
+
+    def loss(x, d, wg):
+        logits, fmap = d.apply(v, x, False, wg)
+        return jnp.sum(jnp.abs(logits)) + 0.1 * sum(
+            jnp.mean(jnp.abs(f)) for f in fmap
+        )
+
+    gr = jax.grad(functools.partial(loss, d=d_ref, wg=True))(x)
+    gf = jax.grad(functools.partial(loss, d=d_fused, wg=False))(x)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=3e-3, atol=3e-3)

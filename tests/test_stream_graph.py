@@ -166,3 +166,42 @@ def test_graph_multi_grid_step(monkeypatch):
             err_msg=k,
         )
     sg._get_core.cache_clear()
+
+
+def test_graph_input_grads_only():
+    """weight_grads=False (frozen-copy traversal): input cotangents stay
+    exact while the backward kernel skips the table/bias-grad dots, and the
+    table cotangents it reports are declared-zero."""
+    w = _weights(2)
+
+    def run(w, weight_grads):
+        e0 = stream_conv(w["W0"], w["b0"], f_in=8, f_out=4, t_in=100, s=2, pad=2)
+        e1 = stream_conv(w["W1"][:, :2, :], w["b1"], f_in=4, f_out=4, t_in=50, pad=1)
+        seg = Segment(
+            levels=(
+                Level(t_rows=13, lanes=8, is_input=True, lane_valid=4),
+                Level(t_rows=e0.rows_out, lanes=e0.lanes_out,
+                      lane_valid=e0.lane_valid),
+                Level(t_rows=e1.rows_out, lanes=e1.lanes_out,
+                      lane_valid=e1.lane_valid),
+            ),
+            ops=(
+                Op(out=1, edges=(Edge(0, e0.kk, e0.pad_l, e0.pad_r),), act="lrelu"),
+                Op(out=2, edges=(Edge(1, e1.kk, e1.pad_l, e1.pad_r),), act="tanh"),
+            ),
+        )
+        tables = [e0.table, e1.table]
+        biases = [e0.zbias.reshape(1, -1), e1.zbias.reshape(1, -1)]
+        outs = fused_stream_graph(seg, [fold_stream(w["raw"], 8)], tables,
+                                  biases, interpret=True,
+                                  weight_grads=weight_grads)
+        return sum((i + 1) * o.astype(jnp.float32).sum()
+                   for i, o in enumerate(outs))
+
+    g_ref = jax.grad(lambda x: run({**w, "raw": x}, True))(w["raw"])
+    g_nodw = jax.grad(lambda x: run({**w, "raw": x}, False))(w["raw"])
+    np.testing.assert_allclose(np.asarray(g_nodw), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-5)
+    # declared-zero weight cotangents
+    gw = jax.grad(lambda W: run({**w, "W0": W}, False))(w["W0"])
+    assert float(jnp.max(jnp.abs(gw))) == 0.0
