@@ -60,8 +60,29 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.custom_derivatives import SymbolicZero
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# last backward's per-layer output-cotangent liveness (debug/tests only:
+# asserts the symbolic-zero dy skip actually engaged for a given traversal)
+LAST_BWD_DY_MASK: tuple[bool, ...] | None = None
+# last backward's (input_perturbed, weights_perturbed) detection (debug/tests)
+LAST_BWD_PERTURBED: tuple[bool, bool] | None = None
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class _BwdFlags:
+    """Trace-time AD facts smuggled from fwd to bwd through the residual
+    pytree's STRUCTURE (register_static: no array leaves): whether the stack
+    input and any weight/bias are actually being differentiated. Lets the
+    backward skip the dx chain-out (D update: real audio + stop-gradient
+    fake — input never perturbed) / the dW dots (G update) without relying
+    on the caller's explicit declaration."""
+
+    x_perturbed: bool
+    w_perturbed: bool
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -403,19 +424,34 @@ def _fwd_pallas(plan: _SegmentPlan, x, wqs, biases, *, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(plan: _SegmentPlan, refs, need_dw: bool = True):
+def _bwd_kernel(
+    plan: _SegmentPlan, refs, need_dw: bool = True,
+    dy_mask: tuple[bool, ...] | None = None, need_dx: bool = True,
+):
     """Top-down zoned sweep: dZ (pre-act cotangent), transposed conv down,
     in-kernel dW/db accumulated across grid steps. ``need_dw=False`` (the
     generator-update traversal, where the discriminator weights are
     constants) skips every weight/bias-grad dot and export — XLA cannot DCE
-    inside an opaque Mosaic call, so the split must be explicit here."""
+    inside an opaque Mosaic call, so the split must be explicit here.
+    ``dy_mask[l]=False`` declares layer l's output cotangent symbolically
+    zero (the D-update traversal consumes only the logits, so every interior
+    feature map's cotangent is a materialised-zeros array otherwise): the dy
+    operand and its ``dz += dy`` add are dropped for that layer."""
     n = len(plan.layers)
     e = plan.e
+    if dy_mask is None:
+        dy_mask = (True,) * n
     i = 0
     if need_dw:
         x_ref = refs[i]; i += 1
     y_refs = refs[i : i + n]; i += n
-    dy_refs = refs[i : i + n]; i += n
+    n_dy = sum(dy_mask)
+    live_dy = refs[i : i + n_dy]; i += n_dy
+    dy_refs = []
+    di = 0
+    for l in range(n):
+        dy_refs.append(live_dy[di] if dy_mask[l] else None)
+        di += dy_mask[l]
     w_refs = refs[i : i + n]; i += n
     dx_ref = refs[i]; i += 1
     if need_dw:
@@ -497,7 +533,8 @@ def _bwd_kernel(plan: _SegmentPlan, refs, need_dw: bool = True):
                 dz[...] = da_refs[l + 1][...]
         for j in range(e):
             a = lp.lead_out + j * lp.z_out + lp.g_out
-            dz[a : a + lp.t_out, :] += dy_refs[l][j].astype(jnp.float32)
+            if dy_refs[l] is not None:
+                dz[a : a + lp.t_out, :] += dy_refs[l][j].astype(jnp.float32)
             if lp.spec.slope != 1.0:
                 yv = y_refs[l][j].astype(jnp.float32)
                 dz[a : a + lp.t_out, :] *= jnp.where(
@@ -513,11 +550,17 @@ def _bwd_kernel(plan: _SegmentPlan, refs, need_dw: bool = True):
                     )
             db_refs[l][...] += jnp.sum(dz[...], axis=0, keepdims=True)
 
+        # layer 0's input-cotangent only feeds the dx export; when the stack
+        # input is not perturbed (D update: real audio + stop-gradient fake)
+        # its transposed-conv dots are dead work
+        skip_da = l == 0 and not need_dx
         da = da_refs[l]
-        da[...] = jnp.zeros_like(da)
+        if not skip_da:
+            da[...] = jnp.zeros_like(da)
         dzv = dz[...].astype(dx_ref.dtype)
 
-        def bwd_body(k, b, q, lane0, co0, xsl, w, lp=lp, l=l, dzv=dzv, da=da):
+        def bwd_body(k, b, q, lane0, co0, xsl, w, lp=lp, l=l, dzv=dzv, da=da,
+                     skip_da=skip_da):
             dzb = dzv[:, co0 : co0 + lp.cb_out]
             if need_dw and lp.dw_in_kernel:
                 dw = jax.lax.dot_general(
@@ -525,6 +568,8 @@ def _bwd_kernel(plan: _SegmentPlan, refs, need_dw: bool = True):
                     preferred_element_type=jnp.float32,
                 )
                 dw_refs[l][k, b] += dw
+            if skip_da:
+                return
             # dzb @ w^T without a materialised transpose: contract c_out dims
             contrib = jax.lax.dot_general(
                 dzb, w, (((1,), (1,)), ((), ())),
@@ -534,8 +579,12 @@ def _bwd_kernel(plan: _SegmentPlan, refs, need_dw: bool = True):
                 contrib
             )
 
-        _tap_loop(lp, in_refs[l], w_refs[l], bwd_body)
+        if not (skip_da and not (need_dw and lp.dw_in_kernel)):
+            _tap_loop(lp, in_refs[l], w_refs[l], bwd_body)
 
+    if not need_dx:
+        dx_ref[...] = jnp.zeros_like(dx_ref)  # dummy-small output
+        return
     d0 = da_refs[0][...]
     if plan.layers[0].s > 1:
         d0 = d0.reshape(plan.layers[0].rows_in, plan.c_in)
@@ -546,9 +595,12 @@ def _bwd_kernel(plan: _SegmentPlan, refs, need_dw: bool = True):
 
 def _bwd_pallas(
     plan: _SegmentPlan, x, ys, dys, wqs, *, interpret: bool,
-    need_dw: bool = True,
+    need_dw: bool = True, dy_mask: tuple[bool, ...] | None = None,
+    need_dx: bool = True,
 ):
     n = len(plan.layers)
+    if dy_mask is None:
+        dy_mask = (True,) * n
     n_elems = x.shape[0]
     grid = (n_elems // plan.e,)
     dt = x.dtype
@@ -563,18 +615,23 @@ def _bwd_pallas(
             pl.BlockSpec((plan.e, lp.t_out, lp.spec.c_out),
                          lambda gi: (gi, 0, 0))
         )
-    for lp in plan.layers:  # dy
-        in_specs.append(
-            pl.BlockSpec((plan.e, lp.t_out, lp.spec.c_out),
-                         lambda gi: (gi, 0, 0))
-        )
+    for l, lp in enumerate(plan.layers):  # dy (symbolically-zero ones skipped)
+        if dy_mask[l]:
+            in_specs.append(
+                pl.BlockSpec((plan.e, lp.t_out, lp.spec.c_out),
+                             lambda gi: (gi, 0, 0))
+            )
     for lp in plan.layers:  # wq
         in_specs.append(pl.BlockSpec(lp.wq_shape, lambda gi: (0,) * 4))
 
-    out_specs = [
-        pl.BlockSpec((plan.e, plan.t_in, plan.c_in), lambda gi: (gi, 0, 0))
-    ]
-    out_shape = [jax.ShapeDtypeStruct((n_elems, plan.t_in, plan.c_in), dt)]
+    if need_dx:
+        out_specs = [
+            pl.BlockSpec((plan.e, plan.t_in, plan.c_in), lambda gi: (gi, 0, 0))
+        ]
+        out_shape = [jax.ShapeDtypeStruct((n_elems, plan.t_in, plan.c_in), dt)]
+    else:  # input not perturbed: dummy-small dx placeholder
+        out_specs = [pl.BlockSpec((plan.e, 8, 128), lambda gi: (gi, 0, 0))]
+        out_shape = [jax.ShapeDtypeStruct((n_elems, 8, 128), dt)]
     if need_dw:
         for lp in plan.layers:  # dwq accumulators (dummy-small when XLA dW)
             shp = lp.wq_shape if lp.dw_in_kernel else (1, 1, 8, 128)
@@ -623,9 +680,11 @@ def _bwd_pallas(
     for lp in plan.layers:  # dz
         scratch.append(pltpu.VMEM((lp.rows_out, lp.spec.c_out), jnp.float32))
 
-    operands = ([x] if need_dw else []) + [*ys, *dys, *wqs]
+    live_dys = [d for l, d in enumerate(dys) if dy_mask[l]]
+    operands = ([x] if need_dw else []) + [*ys, *live_dys, *wqs]
     outs = pl.pallas_call(
-        lambda *refs: _bwd_kernel(plan, refs, need_dw=need_dw),
+        lambda *refs: _bwd_kernel(plan, refs, need_dw=need_dw,
+                                  dy_mask=dy_mask, need_dx=need_dx),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -810,7 +869,14 @@ def _get_stack_core(
     for plan in plans:
         seg_starts.append(i)
         i += len(plan.layers)
-    bwd_chunks = _bwd_chunks(plans, specs, itemsize, need_dw)
+    # backward chunking depends on the EFFECTIVE need_dw (declared flag AND
+    # trace-time weight-perturbation detection) — computed lazily per variant
+    chunk_cache: dict = {}
+
+    def get_chunks(nd: bool):
+        if nd not in chunk_cache:
+            chunk_cache[nd] = _bwd_chunks(plans, specs, itemsize, nd)
+        return chunk_cache[nd]
 
     @jax.custom_vjp
     def core(x, *wb):
@@ -829,27 +895,56 @@ def _get_stack_core(
         return tuple(ys)
 
     def fwd(x, *wb):
-        ys = core(x, *wb)
-        return ys, (x, ys, wb[:n])
+        # symbolic_zeros=True wraps every primal in a CustomVJPPrimal
+        xv = x.value
+        wbv = tuple(p.value for p in wb)
+        ys = core(xv, *wbv)
+        flags = _BwdFlags(
+            x_perturbed=bool(x.perturbed),
+            w_perturbed=any(bool(p.perturbed) for p in wb),
+        )
+        return ys, (xv, ys, wbv[:n], flags)
 
     def bwd(res, dys):
-        x, ys, wqs = res
+        x, ys, wqs, flags = res
+        # Cotangents that are structurally zero (e.g. the D-update loss uses
+        # only the logits; every interior fmap's cotangent never exists)
+        # arrive as SymbolicZero — drop their DMA + add instead of streaming
+        # materialised zeros through the kernel (~300 MB/step for the MSD).
+        mask = [not isinstance(d, SymbolicZero) for d in dys]
+        # effective declarations: the explicit weight_grads flag is ANDed
+        # with trace-time perturbation detection, and the dx chain-out is
+        # skipped entirely when the input is not differentiated (D update)
+        nd = need_dw and flags.w_perturbed
+        ndx = flags.x_perturbed
+        global LAST_BWD_DY_MASK, LAST_BWD_PERTURBED
+        LAST_BWD_DY_MASK = tuple(mask)
+        LAST_BWD_PERTURBED = (ndx, flags.w_perturbed)
         dwqs: list = [None] * n
         dbs: list = [None] * n
         upstream = None
-        for i0, k, plan in reversed(bwd_chunks):
+        for i0, k, plan in reversed(get_chunks(nd)):
             chunk_x = x if i0 == 0 else ys[i0 - 1]
             seg_ys = list(ys[i0 : i0 + k])
-            seg_dys = [jnp.asarray(d, x.dtype) for d in dys[i0 : i0 + k]]
+            chunk_mask = list(mask[i0 : i0 + k])
+            seg_dys = [
+                jnp.asarray(dys[i0 + j], x.dtype) if chunk_mask[j] else None
+                for j in range(k)
+            ]
             if upstream is not None:
-                seg_dys[-1] = seg_dys[-1] + upstream
+                if chunk_mask[-1]:
+                    seg_dys[-1] = seg_dys[-1] + upstream
+                else:
+                    seg_dys[-1] = upstream
+                    chunk_mask[-1] = True
             seg_wqs = list(wqs[i0 : i0 + k])
             outs = _bwd_pallas(
                 plan, chunk_x, seg_ys, seg_dys, seg_wqs, interpret=interpret,
-                need_dw=need_dw,
+                need_dw=nd, dy_mask=tuple(chunk_mask),
+                need_dx=(i0 != 0) or ndx,
             )
             upstream = outs[0]
-            if not need_dw:
+            if not nd:
                 # caller promised the weights are not being differentiated
                 # (generator-update traversal); hand back symbolic zeros
                 for j, lp in enumerate(plan.layers):
@@ -868,9 +963,10 @@ def _get_stack_core(
                         seg_wqs[j].dtype
                     )
                 dbs[i0 + j] = seg_db[j].astype(jnp.float32)
-        return (upstream.astype(x.dtype), *dwqs, *dbs)
+        dx = upstream.astype(x.dtype) if ndx else jnp.zeros_like(x)
+        return (dx, *dwqs, *dbs)
 
-    core.defvjp(fwd, bwd)
+    core.defvjp(fwd, bwd, symbolic_zeros=True)
     return core, plans, all_lps
 
 
@@ -912,6 +1008,19 @@ def fused_conv_stack(
     cotangents. XLA cannot DCE inside an opaque Mosaic call, so this must
     be declared; using it while actually differentiating the weights gives
     silently zero weight grads.
+
+    The custom VJP additionally detects dead work on its own
+    (symbolic_zeros=True):
+
+    - output cotangents that are structurally zero never reach the kernel —
+      the D-update loss consumes only the logits, so the interior fmaps'
+      materialised-zero cotangents (~300 MB/step at B16x8192) are neither
+      written by XLA nor DMAed/added by the backward;
+    - weight perturbation is detected per-traversal and ANDed with the
+      declared flag (an undeclared frozen-weight traversal still gets the
+      cheap backward);
+    - an unperturbed INPUT (D update: real audio + stop-gradient fake)
+      skips the first fused layer's transposed-conv dots and the dx export.
     """
     if mesh is not None and mesh.shape.get(batch_axis, 1) > 1:
         from jax.sharding import PartitionSpec as P

@@ -52,8 +52,24 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+from jax.custom_derivatives import SymbolicZero
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# last backward's liveness/perturbation detection (debug/tests only)
+LAST_BWD_DY_MASK: tuple[bool, ...] | None = None
+LAST_BWD_PERTURBED: tuple | None = None
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class _BwdFlags:
+    """Trace-time AD facts carried fwd->bwd via the residual pytree
+    STRUCTURE (register_static: no array leaves): per-input perturbation
+    and whether any table/bias is differentiated."""
+
+    x_perturbed: tuple
+    w_perturbed: bool
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -420,21 +436,45 @@ def _fwd_pallas(plan: _Plan, inputs, tables, biases, *, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(plan: _Plan, n_in: int, n_tab: int, refs, need_dw: bool = True):
+def _bwd_kernel(plan: _Plan, n_in: int, n_tab: int, refs, need_dw: bool = True,
+                dy_mask: tuple[bool, ...] | None = None,
+                dx_mask: tuple[bool, ...] | None = None):
     """``need_dw=False`` (frozen-weight traversal, e.g. the distill
     trainer's discriminator-copy pass on generated audio) skips every
     weight/bias-grad dot and export — XLA cannot DCE inside an opaque
-    Mosaic call, so the split must be declared by the caller."""
+    Mosaic call, so the split must be declared by the caller.
+    ``dy_mask[oi]=False`` declares produced level oi's external cotangent
+    symbolically zero (interior exports exist for the backward, not the
+    loss): its dy DMA + add are dropped. ``dx_mask[ii]=False`` declares
+    input ii unperturbed (e.g. the stop-gradient wall in front of the
+    distill disc-train pass): its cotangent dots and export are dropped."""
     seg = plan.seg
     n_lvl = len(seg.levels)
     n_ops = len(seg.ops)
     n_out = n_lvl - n_in
+    if dy_mask is None:
+        dy_mask = (True,) * n_out
+    if dx_mask is None:
+        dx_mask = (True,) * n_in
     i = 0
     in_refs = refs[i : i + n_in]; i += n_in
     y_refs = refs[i : i + n_out]; i += n_out  # saved level exports
-    dy_refs = refs[i : i + n_out]; i += n_out
+    n_live_dy = sum(dy_mask)
+    live_dy = refs[i : i + n_live_dy]; i += n_live_dy
+    dy_refs = []
+    di = 0
+    for oi in range(n_out):
+        dy_refs.append(live_dy[di] if dy_mask[oi] else None)
+        di += dy_mask[oi]
     tab_refs = refs[i : i + n_tab]; i += n_tab
     dx_refs = refs[i : i + n_in]; i += n_in
+    # level index -> dead-input flag (cotangent writes to it are dead work)
+    dead_lvl = [False] * n_lvl
+    ii_scan = 0
+    for li, lvl in enumerate(seg.levels):
+        if lvl.is_input:
+            dead_lvl[li] = not dx_mask[ii_scan]
+            ii_scan += 1
     if need_dw:
         dtab_refs = refs[i : i + n_tab]; i += n_tab
         db_refs = refs[i : i + n_ops]; i += n_ops
@@ -473,11 +513,12 @@ def _bwd_kernel(plan: _Plan, n_in: int, n_tab: int, refs, need_dw: bool = True):
     for li, lvl in enumerate(seg.levels):
         da_refs[li][...] = jnp.zeros_like(da_refs[li])
         if not lvl.is_input:
-            for j in range(e):
-                a = plan.lead[li] + j * z + plan.guard[li]
-                da_refs[li][a : a + lvl.t_rows, :] += dy_refs[oi_exp][
-                    j
-                ].astype(jnp.float32)
+            if dy_refs[oi_exp] is not None:
+                for j in range(e):
+                    a = plan.lead[li] + j * z + plan.guard[li]
+                    da_refs[li][a : a + lvl.t_rows, :] += dy_refs[oi_exp][
+                        j
+                    ].astype(jnp.float32)
             oi_exp += 1
 
     # table index base per op (edges are packed op-major)
@@ -517,20 +558,25 @@ def _bwd_kernel(plan: _Plan, n_in: int, n_tab: int, refs, need_dw: bool = True):
                         xsl, dzt, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                da_refs[ed.src][pl.ds(st0 + q, rows_out), :] += (
-                    jax.lax.dot_general(
-                        dzt, tab_refs[tab_base[oi] + ei][q],
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                if not dead_lvl[ed.src]:
+                    da_refs[ed.src][pl.ds(st0 + q, rows_out), :] += (
+                        jax.lax.dot_general(
+                            dzt, tab_refs[tab_base[oi] + ei][q],
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
                     )
-                )
-        if op.res_from is not None:
+        if op.res_from is not None and not dead_lvl[op.res_from]:
             off = plan.res_off[oi]
             da_refs[op.res_from][pl.ds(off, rows_out), :] += dz
 
     ii = 0
     for li, lvl in enumerate(seg.levels):
         if not lvl.is_input:
+            continue
+        if not dx_mask[ii]:
+            dx_refs[ii][...] = jnp.zeros_like(dx_refs[ii])  # dummy-small
+            ii += 1
             continue
         da = da_refs[li]
         for j in range(e):
@@ -542,11 +588,17 @@ def _bwd_kernel(plan: _Plan, n_in: int, n_tab: int, refs, need_dw: bool = True):
 
 
 def _bwd_pallas(plan: _Plan, inputs, ys, dys, tables, *, interpret: bool,
-                need_dw: bool = True):
+                need_dw: bool = True,
+                dy_mask: tuple[bool, ...] | None = None,
+                dx_mask: tuple[bool, ...] | None = None):
     seg = plan.seg
     n_in = len(inputs)
     n_tab = len(tables)
     n_ops = len(seg.ops)
+    if dy_mask is None:
+        dy_mask = (True,) * len(ys)
+    if dx_mask is None:
+        dx_mask = (True,) * n_in
     n_elems = (inputs[0] if inputs else ys[0]).shape[0]
     grid = (n_elems // plan.e,)
     dt = (inputs[0] if inputs else ys[0]).dtype
@@ -565,25 +617,36 @@ def _bwd_pallas(plan: _Plan, inputs, ys, dys, tables, *, interpret: bool,
             pl.BlockSpec((plan.e, lvl.t_rows, lvl.lanes),
                          lambda gi: (gi, 0, 0))
         )
-    for li in out_levels:  # dy
-        lvl = seg.levels[li]
-        in_specs.append(
-            pl.BlockSpec((plan.e, lvl.t_rows, lvl.lanes),
-                         lambda gi: (gi, 0, 0))
-        )
+    for oi, li in enumerate(out_levels):  # dy (symbolically-zero skipped)
+        if dy_mask[oi]:
+            lvl = seg.levels[li]
+            in_specs.append(
+                pl.BlockSpec((plan.e, lvl.t_rows, lvl.lanes),
+                             lambda gi: (gi, 0, 0))
+            )
     for t in tables:
         in_specs.append(pl.BlockSpec(t.shape, lambda gi: (0, 0, 0)))
 
     out_specs, out_shape = [], []
+    ii = 0
     for li, lvl in enumerate(seg.levels):
         if lvl.is_input:
-            out_specs.append(
-                pl.BlockSpec((plan.e, lvl.t_rows, lvl.lanes),
-                             lambda gi: (gi, 0, 0))
-            )
-            out_shape.append(
-                jax.ShapeDtypeStruct((n_elems, lvl.t_rows, lvl.lanes), dt)
-            )
+            if dx_mask[ii]:
+                out_specs.append(
+                    pl.BlockSpec((plan.e, lvl.t_rows, lvl.lanes),
+                                 lambda gi: (gi, 0, 0))
+                )
+                out_shape.append(
+                    jax.ShapeDtypeStruct((n_elems, lvl.t_rows, lvl.lanes), dt)
+                )
+            else:  # unperturbed input: dummy-small dx placeholder
+                out_specs.append(
+                    pl.BlockSpec((plan.e, 8, 128), lambda gi: (gi, 0, 0))
+                )
+                out_shape.append(
+                    jax.ShapeDtypeStruct((n_elems, 8, 128), dt)
+                )
+            ii += 1
     if need_dw:
         for t in tables:  # f32 dW accumulators, held across grid steps
             out_specs.append(pl.BlockSpec(t.shape, lambda gi: (0, 0, 0)))
@@ -601,8 +664,10 @@ def _bwd_pallas(plan: _Plan, inputs, ys, dys, tables, *, interpret: bool,
         pltpu.VMEM((plan.rows[li], lvl.lanes), jnp.float32)
         for li, lvl in enumerate(seg.levels)
     ]
+    live_dys = [d for oi, d in enumerate(dys) if dy_mask[oi]]
     outs = pl.pallas_call(
-        lambda *refs: _bwd_kernel(plan, n_in, n_tab, refs, need_dw=need_dw),
+        lambda *refs: _bwd_kernel(plan, n_in, n_tab, refs, need_dw=need_dw,
+                                  dy_mask=dy_mask, dx_mask=dx_mask),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -613,7 +678,7 @@ def _bwd_pallas(plan: _Plan, inputs, ys, dys, tables, *, interpret: bool,
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(*inputs, *ys, *dys, *tables)
+    )(*inputs, *ys, *live_dys, *tables)
     return outs if isinstance(outs, (list, tuple)) else [outs]
 
 
@@ -653,21 +718,41 @@ def _get_core(seg: Segment, n_elems: int, itemsize: int, interpret: bool,
         )
 
     def fwd(*args):
-        ys = core(*args)
-        inputs = args[:n_in]
-        tables = args[n_in : n_in + n_tab]
-        return ys, (inputs, ys, tables)
+        # symbolic_zeros=True wraps every primal in a CustomVJPPrimal
+        vals = tuple(a.value for a in args)
+        ys = core(*vals)
+        flags = _BwdFlags(
+            x_perturbed=tuple(bool(a.perturbed) for a in args[:n_in]),
+            w_perturbed=any(bool(a.perturbed) for a in args[n_in:]),
+        )
+        return ys, (vals[:n_in], ys, vals[n_in : n_in + n_tab], flags)
 
     def bwd(res, dys):
-        inputs, ys, tables = res
+        inputs, ys, tables, flags = res
         dt = (inputs[0] if inputs else ys[0]).dtype
-        dys = [jnp.asarray(d, dt) for d in dys]
-        outs = _bwd_pallas(plan, list(inputs), list(ys), dys, list(tables),
-                           interpret=interpret, need_dw=need_dw)
-        dxs = outs[:n_in]
-        if not need_dw:
-            # caller declared the tables/biases frozen (copy-pass traversal):
-            # hand back symbolic zeros
+        # effective declarations: the explicit weight_grads flag ANDed with
+        # trace-time perturbation detection; structurally-zero output
+        # cotangents (interior level exports the loss never touches) and
+        # unperturbed inputs (stop-gradient walls) drop their DMAs + dots
+        nd = need_dw and flags.w_perturbed
+        dy_mask = tuple(not isinstance(d, SymbolicZero) for d in dys)
+        dx_mask = flags.x_perturbed
+        global LAST_BWD_DY_MASK, LAST_BWD_PERTURBED
+        LAST_BWD_DY_MASK = dy_mask
+        LAST_BWD_PERTURBED = (dx_mask, flags.w_perturbed)
+        live_dys = [
+            jnp.asarray(d, dt) if dy_mask[oi] else None
+            for oi, d in enumerate(dys)
+        ]
+        outs = _bwd_pallas(plan, list(inputs), list(ys), live_dys,
+                           list(tables), interpret=interpret, need_dw=nd,
+                           dy_mask=dy_mask, dx_mask=dx_mask)
+        dxs = [
+            out if dx_mask[ii] else jnp.zeros_like(inputs[ii])
+            for ii, out in enumerate(outs[:n_in])
+        ]
+        if not nd:
+            # tables/biases frozen (declared or detected): zero cotangents
             return (
                 *[dx.astype(dt) for dx in dxs],
                 *[jnp.zeros(t.shape, t.dtype) for t in tables],
@@ -684,7 +769,7 @@ def _get_core(seg: Segment, n_elems: int, itemsize: int, interpret: bool,
             *[db.astype(jnp.float32) for db in dbs],
         )
 
-    core.defvjp(fwd, bwd)
+    core.defvjp(fwd, bwd, symbolic_zeros=True)
     return core
 
 

@@ -449,3 +449,101 @@ def test_discriminator_s_fused_input_grads_only_parity():
     gf = jax.grad(functools.partial(loss, d=d_fused, wg=False))(x)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                rtol=3e-3, atol=3e-3)
+
+
+def test_fused_stack_dead_fmap_cotangents_skipped():
+    """A loss that consumes only the LAST output (the D-update traversal:
+    LSGAN on logits, fmaps unused) reaches the backward as SymbolicZero
+    cotangents for every interior layer; the bwd drops those dy DMAs
+    (LAST_BWD_DY_MASK records the liveness) and all grads — input, weight,
+    bias — still match the XLA chain differentiated the same way."""
+    from hifigan_tpu.ops.pallas import conv_stack as cs
+
+    specs = _msd_specs()
+    kernels, biases = _make_params(jax.random.PRNGKey(20), specs, 128)
+    x = jax.random.normal(jax.random.PRNGKey(21), (2, 256, 128))
+
+    def loss(x, ks, bs):
+        ys = fused_conv_stack(x, ks, bs, specs, interpret=True)
+        return jnp.sum(ys[-1].astype(jnp.float32) ** 2)
+
+    def loss_ref(x, ks, bs):
+        ys = _ref_chain(x, ks, bs, specs)
+        return jnp.sum(ys[-1].astype(jnp.float32) ** 2)
+
+    gx, gk, gb = jax.grad(loss, argnums=(0, 1, 2))(x, kernels, biases)
+    rx, rk, rb = jax.grad(loss_ref, argnums=(0, 1, 2))(x, kernels, biases)
+    mask = cs.LAST_BWD_DY_MASK
+    assert mask is not None and mask[-1] and not any(mask[:-1]), mask
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=5e-4, atol=5e-4, err_msg="dx")
+    for i, (a, b) in enumerate(zip(gk, rk)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=f"dW{i}")
+    for i, (a, b) in enumerate(zip(gb, rb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=f"db{i}")
+
+
+def test_fused_stack_dead_dys_with_weight_grads_false():
+    """Combined declarations: frozen weights (weight_grads=False) AND a
+    logits-only loss — the backward runs with no x DMA, no rebuild, no
+    weight-grad dots and only one live dy; input grads stay exact."""
+    from hifigan_tpu.ops.pallas import conv_stack as cs
+
+    specs = _msd_specs()
+    kernels, biases = _make_params(jax.random.PRNGKey(22), specs, 128)
+    x = jax.random.normal(jax.random.PRNGKey(23), (2, 256, 128))
+
+    def loss(x):
+        ys = fused_conv_stack(x, kernels, biases, specs, interpret=True,
+                              weight_grads=False)
+        return jnp.sum(ys[-1].astype(jnp.float32) ** 2)
+
+    def loss_ref(x):
+        ys = _ref_chain(x, kernels, biases, specs)
+        return jnp.sum(ys[-1].astype(jnp.float32) ** 2)
+
+    gx = jax.grad(loss)(x)
+    rx = jax.grad(loss_ref)(x)
+    mask = cs.LAST_BWD_DY_MASK
+    assert mask is not None and mask[-1] and not any(mask[:-1]), mask
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_discriminator_s_d_update_traversal_parity():
+    """The exact D-update shape: differentiate an LSGAN logits loss wrt the
+    discriminator PARAMS (fmaps returned but unused). The fused path must
+    (a) skip the dead fmap cotangents and (b) produce the same param grads
+    as the plain XLA DiscriminatorS."""
+    from hifigan_tpu.models.discriminators import DiscriminatorS
+    from hifigan_tpu.ops.pallas import conv_stack as cs
+
+    d_ref = DiscriminatorS()
+    d_fused = DiscriminatorS(conv_impl="fused_stack", conv_interpret=True)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(24), (2, 512))
+    v = d_ref.init(jax.random.PRNGKey(1), x)
+
+    def d_loss(params, d):
+        logits, _fmap = d.apply({"params": params}, x)
+        return jnp.mean((logits - 1.0) ** 2)
+
+    gr = jax.grad(functools.partial(d_loss, d=d_ref))(v["params"])
+    gf = jax.grad(functools.partial(d_loss, d=d_fused))(v["params"])
+    mask = cs.LAST_BWD_DY_MASK
+    assert mask is not None and mask[-1] and not any(mask[:-1]), mask
+    # the stack INPUT here is conv_0's output, and conv_0's weights are
+    # being differentiated — so the input is correctly detected as
+    # perturbed (its cotangent feeds conv_0's weight grad); the dx skip
+    # only engages for stacks fed directly by data (see the standalone
+    # fused_conv_stack tests / the distill stream kernels)
+    assert cs.LAST_BWD_PERTURBED == (True, True), cs.LAST_BWD_PERTURBED
+    flat_r = jax.tree_util.tree_leaves_with_path(gr)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(gf))
+    assert len(flat_r) == len(flat_f)
+    for path, leaf in flat_r:
+        np.testing.assert_allclose(
+            np.asarray(flat_f[path]), np.asarray(leaf),
+            rtol=3e-3, atol=3e-3, err_msg=jax.tree_util.keystr(path),
+        )

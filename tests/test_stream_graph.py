@@ -205,3 +205,63 @@ def test_graph_input_grads_only():
     # declared-zero weight cotangents
     gw = jax.grad(lambda W: run({**w, "W0": W}, False))(w["W0"])
     assert float(jnp.max(jnp.abs(gw))) == 0.0
+
+
+def test_graph_dead_output_cotangents_skipped():
+    """A loss touching only the final head output leaves every interior
+    level export's cotangent symbolically zero — the backward must drop
+    those dy DMAs (LAST_BWD_DY_MASK) and still match the oracle grads."""
+    from hifigan_tpu.ops.pallas import stream_graph as sgm
+
+    w = _weights(2)
+
+    def lf(w):
+        outs, _ = _fused(w)
+        return jnp.sum(outs[-1] ** 2)
+
+    def lo(w):
+        return jnp.sum(_oracle(w)[-1] ** 2)
+
+    gf = jax.grad(lf)(w)
+    go = jax.grad(lo)(w)
+    mask = sgm.LAST_BWD_DY_MASK
+    assert mask is not None and not all(mask), mask
+    for k in w:
+        np.testing.assert_allclose(
+            np.asarray(gf[k]), np.asarray(go[k]), rtol=2e-4, atol=2e-3,
+            err_msg=k,
+        )
+
+
+def test_graph_unperturbed_inputs_detected():
+    """Stop-gradient walls in front of the inputs (the distill disc-train
+    pass applies the disc to DETACHED audio) must be detected: the backward
+    skips the input-cotangent dots/exports while weight grads stay exact."""
+    from hifigan_tpu.ops.pallas import stream_graph as sgm
+
+    w = _weights(3)
+
+    def wall(w):
+        return {**w, "raw": jax.lax.stop_gradient(w["raw"]),
+                "side": jax.lax.stop_gradient(w["side"])}
+
+    def lf(w):
+        outs, _ = _fused(wall(w))
+        return sum(jnp.mean(o ** 2) for o in outs)
+
+    def lo(w):
+        return sum(jnp.mean(o ** 2) for o in _oracle(wall(w)))
+
+    gf = jax.grad(lf)(w)
+    go = jax.grad(lo)(w)
+    dx_mask, w_pert = sgm.LAST_BWD_PERTURBED
+    assert dx_mask == (False, False), dx_mask
+    assert w_pert
+    for k in ("W0", "W1", "W2", "W3", "b0", "b1", "b2", "b3"):
+        np.testing.assert_allclose(
+            np.asarray(gf[k]), np.asarray(go[k]), rtol=2e-4, atol=2e-3,
+            err_msg=k,
+        )
+    # the walled inputs' grads are zero on both sides
+    assert float(jnp.max(jnp.abs(gf["raw"]))) == 0.0
+    assert float(jnp.max(jnp.abs(gf["side"]))) == 0.0
