@@ -33,6 +33,38 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+
+def _probe_devices(timeout_s: int | None = None) -> None:
+    """Fail fast and loudly if the TPU is unreachable: jax.devices() HANGS
+    (not errors) when the axon tunnel is down, which would otherwise stall
+    the whole bench run until an external kill with no diagnostic."""
+    import os
+    import threading
+
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("BENCH_PROBE_TIMEOUT", "600"))
+    done = threading.Event()
+    devs: list = []
+
+    def probe():
+        devs.extend(jax.devices())
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "error",
+            "value": 0,
+            "unit": f"TPU unreachable: jax.devices() hung >{timeout_s}s "
+                    "(axon tunnel down?)",
+            "vs_baseline": 0,
+        }), flush=True)
+        raise SystemExit(2)
+    print(f"# devices: {devs}", flush=True)
+
+
+_probe_devices()
+
 from hifigan_tpu.config import get_config, upsample_hop
 from hifigan_tpu.models import Generator, fold_weight_norm
 
