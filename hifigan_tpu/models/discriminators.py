@@ -97,13 +97,16 @@ class DiscriminatorS(nn.Module):
     # 'pallas' (ops/pallas/msd_conv.py per-LAYER fused conv+lrelu kernels),
     # 'fused_stack' (ops/pallas/conv_stack.py: the WHOLE 7-layer stack +
     # conv_post in 1-2 Pallas kernels, activations VMEM-resident, fused
-    # custom-VJP backward), or 'auto'. MEASURED (v5e, B16x8192 bf16,
-    # real+fake pair, all-leaf grad sums): XLA fwd 12.9 ms / fwd+bwd 37.4;
-    # per-conv pallas fwd 15.9 / fwd+bwd 40.7 (the per-layer fold glue eats
-    # the kernel win); fused_stack fwd 11.6 / fwd+bwd 34.4 (kernels run at
-    # ~100 TFLOP/s; the residual gap to peak is the group-densification
-    # FLOP pad, see conv_stack.py). 'auto' resolves to fused_stack on
-    # accelerators when the geometry allows, XLA otherwise/on CPU.
+    # custom-VJP backward), 'fused_zoned' (fused_stack + group time-fold
+    # zones for the grouped layers: each group presents exactly 128 lanes
+    # with time folded in, killing the group-densification FLOP pad), or
+    # 'auto'. MEASURED (v5e, B16x8192 bf16, real+fake pair, all-leaf grad
+    # sums): XLA fwd 12.9 ms / fwd+bwd 37.4; per-conv pallas fwd 15.9 /
+    # fwd+bwd 40.7 (the per-layer fold glue eats the kernel win);
+    # fused_stack fwd 10.7 / fwd+bwd 31.0; fused_zoned fwd 9.3 / fwd+bwd
+    # 24.2 (full V1 train step 67.9 ms vs 79.9 stack / 82.0 XLA). 'auto'
+    # resolves to fused_zoned on accelerators when the geometry allows,
+    # XLA otherwise/on CPU.
     conv_impl: str = "auto"
     conv_interpret: bool = False  # interpret the fused-stack kernels (tests)
     # Device mesh for the fused-stack kernels: when set, the Pallas calls
@@ -136,7 +139,7 @@ class DiscriminatorS(nn.Module):
         ]
         impl = self.conv_impl
         if impl == "auto":
-            # fused_stack wins on accelerators (measured above); the Mosaic
+            # fused_zoned wins on accelerators (measured above); the Mosaic
             # kernels need a TPU backend and 128-aligned stack width. On a
             # multi-device mesh the fused form needs the shard_map wiring
             # (``mesh`` attr) — without it GSPMD treats a Mosaic call as
@@ -150,7 +153,7 @@ class DiscriminatorS(nn.Module):
                 n_data > 1 and b % n_data == 0
             )
             impl = (
-                "fused_stack"
+                "fused_zoned"
                 if jax.default_backend() != "cpu"
                 and self.width % 128 == 0
                 and multi_ok

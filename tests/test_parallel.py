@@ -1,6 +1,8 @@
 """Sequence-parallel (halo-exchange) and streaming inference tests: both
 must match single-device full-sequence synthesis exactly."""
 
+import functools
+
 import numpy as np
 import pytest
 
@@ -224,6 +226,46 @@ def test_discriminator_s_fused_stack_on_mesh():
     np.testing.assert_allclose(
         np.asarray(fmap[-1]), np.asarray(fmap_ref[-1]), atol=2e-4
     )
+
+
+def test_discriminator_s_fused_zoned_on_mesh():
+    """conv_impl='fused_zoned' (the accelerator auto default) under the
+    shard_map mesh wiring: logits match the XLA form and grads survive the
+    shard_map transpose (weight-grad psum)."""
+    from hifigan_tpu.models.discriminators import DiscriminatorS
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = create_mesh(model=1)
+    x = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (8, 512))
+    d_xla = DiscriminatorS(width=128, conv_impl="xla")
+    params = d_xla.init(jax.random.PRNGKey(1), x)["params"]
+
+    def logit_loss(p, x, d):
+        logits, _ = d.apply({"params": p}, x)
+        return jnp.sum(jnp.abs(logits))
+
+    l_ref, g_ref = jax.jit(
+        jax.value_and_grad(functools.partial(logit_loss, d=d_xla))
+    )(params, x)
+
+    d_zone = DiscriminatorS(
+        width=128, conv_impl="fused_zoned", conv_interpret=True, mesh=mesh
+    )
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    l, g = jax.jit(
+        jax.value_and_grad(functools.partial(logit_loss, d=d_zone))
+    )(params, xs)
+    np.testing.assert_allclose(float(l), float(l_ref), rtol=2e-4)
+    flat = dict(
+        (jax.tree_util.keystr(p), a)
+        for p, a in jax.tree_util.tree_leaves_with_path(g)
+    )
+    for p, a in jax.tree_util.tree_leaves_with_path(g_ref):
+        key = jax.tree_util.keystr(p)
+        np.testing.assert_allclose(
+            np.asarray(flat[key]), np.asarray(a), rtol=3e-3, atol=3e-3,
+            err_msg=key,
+        )
 
 
 def test_distill_resolve_mesh_policy():
