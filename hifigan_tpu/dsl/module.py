@@ -120,10 +120,15 @@ class ConfigurableModule(nn.Module):
     # stream-graph kernels (one per all-in-one block; dsl/fused_member.py) —
     # the member's ~43 tiny convs are dispatch-bound under XLA.
     # 'fused_interpret' runs the same kernels interpreted (tests);
-    # 'interpret' (and, until measured on hardware, 'auto') keeps the plain
-    # interpreter. Subtrees the pattern-matcher rejects fall back silently
-    # BEFORE any parameter is created, so the param tree never depends on
-    # this flag.
+    # 'interpret' keeps the plain interpreter. MEASURED (v5e, production
+    # distill scale, bf16): disc fwd 14.2 -> 4.4 ms, fwd+bwd 25.9 -> 4.2,
+    # FULL distill step 133.8 -> 77.6 ms (105.5x RT) at loss parity
+    # (1043.89 vs 1044.09) — 'auto' therefore resolves to 'fused' on
+    # single-device accelerator backends, interpreter on CPU and under
+    # multi-device meshes (the member kernels are not shard_map-wired;
+    # GSPMD would replicate an opaque Mosaic call's operands). Subtrees the
+    # pattern-matcher rejects fall back silently BEFORE any parameter is
+    # created, so the param tree never depends on this flag.
     member_impl: str = "auto"
     # Generic stream-fusion pass (dsl/stream_fusion.py): greedily fuse runs
     # of narrow same-rate stream ops (conv/lrelu/tanh/res/sub_res/pool/
@@ -131,8 +136,13 @@ class ConfigurableModule(nn.Module):
     # encoder/decoder's 4/12/84-channel levels are dispatch-bound under XLA.
     # Unsupported atoms (rolls, wide convs, tags, ...) fall back to the
     # interpreter node-by-node at identical paths, so the param tree never
-    # depends on this flag. 'fused' / 'fused_interpret' opt in; 'auto' stays
-    # on the interpreter until measured on hardware.
+    # depends on this flag. 'fused' / 'fused_interpret' opt in. MEASURED
+    # (v5e, production distill scale, bf16): stream fusion of the distill
+    # enc/dec REGRESSES the full step — 85.6 ms member-fused+stream-fused
+    # vs 77.6 member-fused only (the 4/12/84-ch levels' XLA convs already
+    # overlap with the wide core; the extra kernels serialise) — so 'auto'
+    # stays on the interpreter everywhere. Don't flip without a new
+    # measurement.
     stream_impl: str = "auto"
     # Declare that this module instance's weights are NEVER differentiated
     # through (frozen-copy evaluation, e.g. DistillModels.discriminator_eval
@@ -155,6 +165,18 @@ class ConfigurableModule(nn.Module):
         if not is_normalized(self.config):
             object.__setattr__(self, "config", normalize_config(self.config))
         super().__post_init__()
+
+    def _resolved_member_impl(self) -> str:
+        """'auto' -> 'fused' on a single accelerator device (measured win,
+        see the member_impl attribute note), interpreter otherwise. The
+        fused path only changes HOW a pfmap member evaluates — the param
+        tree is identical either way, so auto may differ across hosts or
+        backends without breaking checkpoints."""
+        if self.member_impl != "auto":
+            return self.member_impl
+        if jax.default_backend() != "cpu" and len(jax.devices()) == 1:
+            return "fused"
+        return "interpret"
 
     @nn.compact
     def __call__(self, *x):
@@ -544,7 +566,7 @@ class ConfigurableModule(nn.Module):
             captured = [v for t, v in f if any(tag in tags_to_find for tag in t)]
             return {"output": out, "features": captured}, f
         if name == "pfmap":
-            if self.member_impl in ("fused", "fused_interpret"):
+            if self._resolved_member_impl() in ("fused", "fused_interpret"):
                 from hifigan_tpu.dsl.fused_member import (
                     StreamUnsupported,
                     eval_member_pfmap,
@@ -558,7 +580,8 @@ class ConfigurableModule(nn.Module):
                 else:
                     return eval_member_pfmap(
                         self, p, args, path, plan=plan,
-                        interpret=self.member_impl == "fused_interpret",
+                        interpret=self._resolved_member_impl()
+                        == "fused_interpret",
                         weight_grads=self.weight_grads,
                     )
             sub_cfg, tags_to_find, feature_models = p

@@ -103,10 +103,10 @@ class DiscriminatorS(nn.Module):
     # 'auto'. MEASURED (v5e, B16x8192 bf16, real+fake pair, all-leaf grad
     # sums): XLA fwd 12.9 ms / fwd+bwd 37.4; per-conv pallas fwd 15.9 /
     # fwd+bwd 40.7 (the per-layer fold glue eats the kernel win);
-    # fused_stack fwd 10.7 / fwd+bwd 31.0; fused_zoned fwd 9.3 / fwd+bwd
-    # 24.2 (full V1 train step 67.9 ms vs 79.9 stack / 82.0 XLA). 'auto'
-    # resolves to fused_zoned on accelerators when the geometry allows,
-    # XLA otherwise/on CPU.
+    # fused_stack fwd 10.7 / fwd+bwd 31.0; fused_zoned fwd 8.2 / fwd+bwd
+    # 23.4 at zone_min_groups=8 (full V1 train step 64.9 ms vs 79.9 stack
+    # / 82.0 XLA). 'auto' resolves to fused_zoned on accelerators when the
+    # geometry allows, XLA otherwise/on CPU.
     conv_impl: str = "auto"
     conv_interpret: bool = False  # interpret the fused-stack kernels (tests)
     # Device mesh for the fused-stack kernels: when set, the Pallas calls
@@ -117,6 +117,16 @@ class DiscriminatorS(nn.Module):
     # when a mesh is provided and the batch divides its data axis.
     mesh: Any = None
     mesh_batch_axis: str = "data"
+    # Minimum group count for the time-fold zone form under 'fused_zoned'.
+    # MEASURED (v5e xplane trace, B16x8192 bf16): zoning the g=4 layer 1
+    # saves ~0.3 ms of kernel time over its block-dense std form (gpb=4,
+    # x4 FLOP pad) but forces full-time-resolution fold/unfold lane
+    # permutations (bf16[16,2048,4,4,32]-shaped copies at ~80 GB/s) that
+    # XLA cannot fuse into the opaque Mosaic calls — several ms/step
+    # across scales x real/fake x D/G passes. g>=8 zones only the g=16
+    # chain (layers 2-5), whose densification pad (x8-16) is the one worth
+    # paying a fold for. Tests lower this to cover g4 zone geometry.
+    zone_min_groups: int = 8
 
     @nn.compact
     def __call__(
@@ -254,7 +264,8 @@ class DiscriminatorS(nn.Module):
             _, _, ci, ch, k, s, g, p, _ = ent
             ci_g, co_g = ci // g, ch // g
             zonable = (
-                zoned and g > 1 and 128 % ci_g == 0 and 128 % co_g == 0
+                zoned and g >= self.zone_min_groups
+                and 128 % ci_g == 0 and 128 % co_g == 0
                 and ((128 // co_g) * s) % (128 // ci_g) == 0
             )
             kind = ("zone", g) if zonable else ("std", None)
@@ -362,6 +373,7 @@ class MultiScaleDiscriminator(nn.Module):
     conv_interpret: bool = False
     mesh: Any = None  # see DiscriminatorS.mesh
     mesh_batch_axis: str = "data"
+    zone_min_groups: int = 8  # see DiscriminatorS.zone_min_groups
 
     @nn.compact
     def __call__(
@@ -387,6 +399,7 @@ class MultiScaleDiscriminator(nn.Module):
                 conv_interpret=self.conv_interpret,
                 mesh=self.mesh,
                 mesh_batch_axis=self.mesh_batch_axis,
+                zone_min_groups=self.zone_min_groups,
                 name=f"discriminators_{i}",
             )
             if self.fused:

@@ -280,7 +280,11 @@ def test_discriminator_s_fused_zoned_odd_length():
     from hifigan_tpu.ops.pallas.conv_stack import unfold_group_zones
 
     d_ref = DiscriminatorS()
-    d_zone = DiscriminatorS(conv_impl="fused_zoned", conv_interpret=True)
+    # zone_min_groups=2 keeps the g=4 zone geometry covered (the shipped
+    # default 8 leaves g<=4 layers on the std block-dense path)
+    d_zone = DiscriminatorS(
+        conv_impl="fused_zoned", conv_interpret=True, zone_min_groups=2
+    )
     x = 0.3 * jax.random.normal(jax.random.PRNGKey(6), (2, 257))
     v = d_ref.init(jax.random.PRNGKey(0), x)
 
