@@ -131,11 +131,21 @@ class DiscriminatorS(nn.Module):
     @nn.compact
     def __call__(
         self, x: jax.Array, update_spectral: bool = False,
-        weight_grads: bool = True,
-    ) -> tuple[jax.Array, list[jax.Array]]:
+        weight_grads: bool = True, pair: jax.Array | None = None,
+    ):
+        """Returns (logits, fmaps); with ``pair`` (a same-shape second
+        waveform — the GAN's real/fake traversals share one weight set per
+        optimizer half-step), returns ((logits, fmaps), (logits2, fmaps2))
+        with the banded weight tables of the fused paths packed ONCE for
+        both traversals (the duplicate pack + its backward transpose is
+        ~2.7 ms/step at B16x8192 that XLA's CSE only partially removes).
+        Numerics are identical to two separate calls for the weight-normed
+        scales; spectral-norm power iteration updates once per __call__,
+        so the spectral scale 0 should keep per-traversal calls when
+        update_spectral=True (MultiScaleDiscriminator does)."""
         norm = "spectral" if self.use_spectral_norm else "weight"
         b = x.shape[0]
-        x = x[..., None]  # (B, T, 1)
+        xs = [x[..., None]] if pair is None else [x[..., None], pair[..., None]]
         # (features, kernel, stride, groups, padding) — ref src/models.py:195-203
         w = self.width
         specs = [
@@ -170,14 +180,14 @@ class DiscriminatorS(nn.Module):
                 else "xla"
             )
         if impl in ("fused_stack", "fused_zoned"):
-            return self._fused_stack(
-                x, specs, norm, update_spectral, b,
+            results = self._fused_stack(
+                xs, specs, norm, update_spectral, b,
                 zoned=impl == "fused_zoned", weight_grads=weight_grads,
             )
+            return results[0] if pair is None else tuple(results)
         pallas = impl == "pallas"
-        fmap = []
-        for i, (ch, k, s, g, p) in enumerate(specs):
-            x = NormConv1d(
+        convs = [
+            NormConv1d(
                 features=ch,
                 kernel_size=k,
                 stride=s,
@@ -189,11 +199,10 @@ class DiscriminatorS(nn.Module):
                 fused_impl="pallas_msd" if pallas else None,
                 fused_slope=LRELU_SLOPE if pallas else 1.0,
                 name=f"convs_{i}",
-            )(x, update_spectral)
-            if not pallas:
-                x = leaky_relu(x, LRELU_SLOPE)
-            fmap.append(x)
-        x = NormConv1d(
+            )
+            for i, (ch, k, s, g, p) in enumerate(specs)
+        ]
+        conv_post = NormConv1d(
             features=1,
             kernel_size=3,
             padding=1,
@@ -202,14 +211,27 @@ class DiscriminatorS(nn.Module):
             dtype=self.dtype,
             fused_impl="pallas_msd" if pallas else None,
             name="conv_post",
-        )(x, update_spectral)
-        fmap.append(x)
-        return x.reshape(b, -1), fmap
+        )
+        results = []
+        for h in xs:
+            fmap = []
+            for conv in convs:
+                h = conv(h, update_spectral)
+                if not pallas:
+                    h = leaky_relu(h, LRELU_SLOPE)
+                fmap.append(h)
+            h = conv_post(h, update_spectral)
+            fmap.append(h)
+            results.append((h.reshape(b, -1), fmap))
+        return results[0] if pair is None else tuple(results)
 
-    def _fused_stack(self, x, specs, norm, update_spectral, b, zoned=False,
+    def _fused_stack(self, xs, specs, norm, update_spectral, b, zoned=False,
                      weight_grads=True):
         """Whole-stack path: conv_0 in XLA (1->width: sub-lane input), then
-        layers 1..6 + conv_post as fused Pallas conv-stack kernels.
+        layers 1..6 + conv_post as fused Pallas conv-stack kernels. ``xs``
+        is a list of same-shape inputs (one, or real+fake paired — the
+        weight tables are packed once across them); returns one
+        (logits, fmaps) tuple per input.
 
         ``zoned=True`` additionally runs the grouped layers (1..5) through
         the group time-fold transform (conv_stack.zone_grouped_layer): each
@@ -232,12 +254,12 @@ class DiscriminatorS(nn.Module):
 
         assert self.width % 128 == 0, "fused_stack needs width % 128 == 0"
         ch0, k0, _, _, p0 = specs[0]
-        h = NormConv1d(
+        conv0 = NormConv1d(
             features=ch0, kernel_size=k0, padding=p0, norm=norm,
             precision=self.precision, dtype=self.dtype, name="convs_0",
-        )(x, update_spectral)
-        h = leaky_relu(h, LRELU_SLOPE)
-        fmap = [h]
+        )
+        hs = [leaky_relu(conv0(x, update_spectral), LRELU_SLOPE) for x in xs]
+        fmaps = [[h] for h in hs]
         layers = []  # (kernel, bias, c_in, ch, k, s, g, p, slope)
         c_in = ch0
         for i, (ch, k, s, g, p) in enumerate(specs[1:], start=1):
@@ -245,14 +267,14 @@ class DiscriminatorS(nn.Module):
                 features=ch, kernel_size=k, stride=s, groups=g, padding=p,
                 norm=norm, precision=self.precision, dtype=self.dtype,
                 weights_only=True, name=f"convs_{i}",
-            )(jnp.zeros((1, 1, c_in), h.dtype), update_spectral)
+            )(jnp.zeros((1, 1, c_in), hs[0].dtype), update_spectral)
             layers.append((kb[0], kb[1], c_in, ch, k, s, g, p, LRELU_SLOPE))
             c_in = ch
         kb = NormConv1d(
             features=1, kernel_size=3, padding=1, norm=norm,
             precision=self.precision, dtype=self.dtype, weights_only=True,
             name="conv_post",
-        )(jnp.zeros((1, 1, c_in), h.dtype), update_spectral)
+        )(jnp.zeros((1, 1, c_in), hs[0].dtype), update_spectral)
         layers.append((kb[0], kb[1], c_in, 1, 3, 1, 1, 1, 1.0))
 
         # partition into runs: zone chains (stable grouped geometry; odd
@@ -274,9 +296,9 @@ class DiscriminatorS(nn.Module):
             else:
                 runs.append((kind, [ent]))
 
-        out = h
+        outs = hs
         for (kind, g), ents in runs:
-            t = out.shape[1]
+            t = outs[0].shape[1]
             if kind == "zone":
                 zks, zbs, zspecs = [], [], []
                 for kern, bias, ci, ch, k, s, gg, p, slope in ents:
@@ -289,16 +311,19 @@ class DiscriminatorS(nn.Module):
                     zspecs.append(spec)
                     t = (t + 2 * p - k) // s + 1
                 f_entry = 128 // (ents[0][2] // g)
-                z = fold_group_zones(out, g, f_entry)
-                ys = fused_conv_stack(
-                    z, zks, zbs, zspecs, interpret=self.conv_interpret,
+                zs = [fold_group_zones(o, g, f_entry) for o in outs]
+                ys_multi = fused_conv_stack(
+                    zs, zks, zbs, zspecs, interpret=self.conv_interpret,
                     mesh=self.mesh, batch_axis=self.mesh_batch_axis,
                     weight_grads=weight_grads,
                 )
-                fmap.extend(ys)
-                out = unfold_group_zones(
-                    ys[-1], g, 128 // (ents[-1][3] // g), t_out=t
-                )
+                f_exit = 128 // (ents[-1][3] // g)
+                for j, ys in enumerate(ys_multi):
+                    fmaps[j].extend(ys)
+                outs = [
+                    unfold_group_zones(ys[-1], g, f_exit, t_out=t)
+                    for ys in ys_multi
+                ]
             else:
                 kerns = [e[0] for e in ents]
                 bs = [e[1] for e in ents]
@@ -306,14 +331,17 @@ class DiscriminatorS(nn.Module):
                     LayerSpec(ch, k, s, gg, p, p, slope)
                     for _, _, _, ch, k, s, gg, p, slope in ents
                 ]
-                ys = fused_conv_stack(
-                    out, kerns, bs, sspecs, interpret=self.conv_interpret,
+                ys_multi = fused_conv_stack(
+                    outs, kerns, bs, sspecs, interpret=self.conv_interpret,
                     mesh=self.mesh, batch_axis=self.mesh_batch_axis,
                     weight_grads=weight_grads,
                 )
-                fmap.extend(ys)
-                out = ys[-1]
-        return out.reshape(b, -1), fmap
+                for j, ys in enumerate(ys_multi):
+                    fmaps[j].extend(ys)
+                outs = [ys[-1] for ys in ys_multi]
+        return [
+            (o.reshape(b, -1), fm) for o, fm in zip(outs, fmaps)
+        ]
 
 
 class MultiPeriodDiscriminator(nn.Module):
@@ -408,9 +436,24 @@ class MultiScaleDiscriminator(nn.Module):
                 y_d_gs.append(logits[b:])
                 fmap_rs.append([f[:b] for f in fmap])
                 fmap_gs.append([f[b:] for f in fmap])
-            else:
+            elif i == 0 and update_spectral:
+                # spectral-norm scale: the power iteration advances once per
+                # traversal (reference parity — torch's hook iterates on
+                # every forward), so the fake traversal must see the
+                # once-more-iterated u; no weight-table sharing here.
                 y_d_r, fmap_r = d(y, update_spectral, weight_grads)
                 y_d_g, fmap_g = d(y_hat, update_spectral, weight_grads)
+                y_d_rs.append(y_d_r)
+                y_d_gs.append(y_d_g)
+                fmap_rs.append(fmap_r)
+                fmap_gs.append(fmap_g)
+            else:
+                # weight-normed scales (and frozen-spectral eval): real+fake
+                # share one weight set — the paired call packs the fused
+                # paths' banded weight tables once for both traversals.
+                (y_d_r, fmap_r), (y_d_g, fmap_g) = d(
+                    y, update_spectral, weight_grads, pair=y_hat
+                )
                 y_d_rs.append(y_d_r)
                 y_d_gs.append(y_d_g)
                 fmap_rs.append(fmap_r)

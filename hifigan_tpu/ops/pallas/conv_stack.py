@@ -971,7 +971,7 @@ def _get_stack_core(
 
 
 def fused_conv_stack(
-    x: jax.Array,
+    x: jax.Array | Sequence[jax.Array],
     kernels: Sequence[jax.Array],
     biases: Sequence[jax.Array | None],
     specs: Sequence[LayerSpec],
@@ -982,7 +982,7 @@ def fused_conv_stack(
     mesh: jax.sharding.Mesh | None = None,
     batch_axis: str = "data",
     weight_grads: bool = True,
-) -> list[jax.Array]:
+) -> list[jax.Array] | list[list[jax.Array]]:
     """Run a sequential conv1d(+leaky-relu) stack as 1-2 fused Pallas kernels.
 
     x: (N, T, C0); kernels[l]: (K_l, C_in_l // groups_l, C_out_l) in lax
@@ -991,6 +991,14 @@ def fused_conv_stack(
     layer's c_out may be anything (internally lane-padded). Returns every
     layer's post-activation feature map; the last entry is the stack output.
     Differentiable (custom VJP, fused backward kernels — module docstring).
+
+    ``x`` may also be a SEQUENCE of same-shape inputs (e.g. the GAN
+    discriminator's real + fake traversals, which share one weight set per
+    optimizer half-step): the banded weight tables are then packed ONCE and
+    the kernels invoked per input — one list of feature maps per input is
+    returned. The duplicate pack (and its backward transpose, which XLA's
+    CSE only partially removes across traversals) is what this saves; the
+    per-input kernel calls and their VJPs are unchanged.
 
     ``mesh``: under a multi-device mesh GSPMD treats the Mosaic call as
     opaque and would replicate its operands; passing the mesh instead runs
@@ -1022,44 +1030,55 @@ def fused_conv_stack(
     - an unperturbed INPUT (D update: real audio + stop-gradient fake)
       skips the first fused layer's transposed-conv dots and the dx export.
     """
+    multi = isinstance(x, (list, tuple))
+    xs = tuple(x) if multi else (x,)
     if mesh is not None and mesh.shape.get(batch_axis, 1) > 1:
         from jax.sharding import PartitionSpec as P
 
         n_shards = mesh.shape[batch_axis]
-        if x.shape[0] % n_shards:
+        if xs[0].shape[0] % n_shards:
             raise ValueError(
-                f"fused_conv_stack: batch {x.shape[0]} not divisible by "
+                f"fused_conv_stack: batch {xs[0].shape[0]} not divisible by "
                 f"mesh axis '{batch_axis}' ({n_shards})"
             )
-        local = functools.partial(
-            _fused_conv_stack_local,
-            specs=tuple(specs), small_t=small_t, e_small=e_small,
-            interpret=interpret, weight_grads=weight_grads,
-        )
+
+        def local(*args):
+            return _fused_conv_stack_local(
+                args[: len(xs)], args[len(xs)], args[len(xs) + 1],
+                specs=tuple(specs), small_t=small_t, e_small=e_small,
+                interpret=interpret, weight_grads=weight_grads,
+            )
+
         sharded = jax.shard_map(
             local, mesh=mesh,
-            in_specs=(P(batch_axis), P(), P()),
+            in_specs=(P(batch_axis),) * len(xs) + (P(), P()),
             out_specs=P(batch_axis),
             # Pallas outputs carry no varying-manual-axes metadata; the
             # composition (incl. the replicated-weight grad psum) is
             # validated in tests/test_parallel.py.
             check_vma=False,
         )
-        return list(sharded(x, list(kernels), list(biases)))
-    return _fused_conv_stack_local(
-        x, list(kernels), list(biases), specs=tuple(specs),
+        outs = sharded(*xs, list(kernels), list(biases))
+        return [list(o) for o in outs] if multi else list(outs[0])
+    outs = _fused_conv_stack_local(
+        xs, list(kernels), list(biases), specs=tuple(specs),
         small_t=small_t, e_small=e_small, interpret=interpret,
         weight_grads=weight_grads,
     )
+    return [list(o) for o in outs] if multi else list(outs[0])
 
 
 def _fused_conv_stack_local(
-    x, kernels, biases, *, specs, small_t, e_small, interpret,
+    xs, kernels, biases, *, specs, small_t, e_small, interpret,
     weight_grads=True,
 ):
-    """Single-device body of fused_conv_stack (runs per-shard under a mesh)."""
+    """Single-device body of fused_conv_stack (runs per-shard under a mesh).
+
+    ``xs``: tuple of same-shape inputs; the weight tables are packed once
+    and the custom-VJP core runs per input. Returns one ys list per input
+    (tuple-of-tuples so shard_map can treat it as a flat pytree)."""
     specs = list(specs)
-    n_elems, t_in, c_in = x.shape
+    n_elems, t_in, c_in = xs[0].shape
     kernels = list(kernels)
     biases = list(biases)
     last = specs[-1]
@@ -1073,20 +1092,23 @@ def _fused_conv_stack_local(
     t_specs = tuple(specs)
     core, plans, all_lps = _get_stack_core(
         t_specs, t_in, c_in, n_elems, small_t, e_small, bool(interpret),
-        jnp.dtype(x.dtype).itemsize, bool(weight_grads),
+        jnp.dtype(xs[0].dtype).itemsize, bool(weight_grads),
     )
     wqs = []
     bs = []
     for l, lp in enumerate(all_lps):
-        wqs.append(_pack_weight(kernels[l].astype(x.dtype), lp))
+        wqs.append(_pack_weight(kernels[l].astype(xs[0].dtype), lp))
         b = biases[l]
         if b is None:
             b = jnp.zeros((lp.spec.c_out,), jnp.float32)
         bs.append(b.astype(jnp.float32).reshape(1, -1))
-    ys = list(core(x, *wqs, *bs))
-    if pad_out:
-        ys[-1] = ys[-1][..., : last.c_out]
-    return ys
+    outs = []
+    for x in xs:
+        ys = list(core(x, *wqs, *bs))
+        if pad_out:
+            ys[-1] = ys[-1][..., : last.c_out]
+        outs.append(tuple(ys))
+    return tuple(outs)
 
 
 # ---------------------------------------------------------------------------

@@ -551,3 +551,85 @@ def test_discriminator_s_d_update_traversal_parity():
             np.asarray(flat_f[path]), np.asarray(leaf),
             rtol=3e-3, atol=3e-3, err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_fused_conv_stack_multi_input_shares_tables():
+    """The multi-input form (pack the weight tables once, run the kernels
+    per input — the GAN's real/fake traversals) matches per-input calls on
+    forward values, and its weight grads are the sum of the per-input
+    weight grads."""
+    key = jax.random.PRNGKey(11)
+    specs = [
+        LayerSpec(128, 9, 2, 4, 4, 4, 0.1),
+        LayerSpec(256, 5, 1, 1, 2, 2, 1.0),
+    ]
+    kernels = [
+        0.2 * jax.random.normal(jax.random.PRNGKey(1), (9, 32, 128)),
+        0.2 * jax.random.normal(jax.random.PRNGKey(2), (5, 128, 256)),
+    ]
+    biases = [
+        0.1 * jax.random.normal(jax.random.PRNGKey(3), (128,)),
+        0.1 * jax.random.normal(jax.random.PRNGKey(4), (256,)),
+    ]
+    x1, x2 = jax.random.normal(key, (2, 2, 192, 128))
+
+    def loss_multi(ks):
+        ys1, ys2 = fused_conv_stack(
+            [x1, x2], ks, biases, specs, interpret=True
+        )
+        return sum(jnp.mean(jnp.abs(y)) for y in ys1 + ys2)
+
+    def loss_single(ks, x):
+        ys = fused_conv_stack(x, ks, biases, specs, interpret=True)
+        return sum(jnp.mean(jnp.abs(y)) for y in ys)
+
+    lm, gm = jax.value_and_grad(loss_multi)(kernels)
+    l1, g1 = jax.value_and_grad(functools.partial(loss_single, x=x1))(kernels)
+    l2, g2 = jax.value_and_grad(functools.partial(loss_single, x=x2))(kernels)
+    np.testing.assert_allclose(float(lm), float(l1) + float(l2), rtol=1e-6)
+    for a, b, c in zip(gm, g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b) + np.asarray(c), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_discriminator_s_paired_call_parity():
+    """DiscriminatorS(pair=...) — one packed weight set for the real/fake
+    traversals — is exact vs two separate calls, fused_stack AND
+    fused_zoned forms, values and grads."""
+    from hifigan_tpu.models.discriminators import DiscriminatorS
+
+    for impl in ("fused_stack", "fused_zoned"):
+        d = DiscriminatorS(
+            conv_impl=impl, conv_interpret=True, zone_min_groups=8
+        )
+        y = 0.3 * jax.random.normal(jax.random.PRNGKey(6), (2, 512))
+        y_hat = 0.3 * jax.random.normal(jax.random.PRNGKey(7), (2, 512))
+        v = d.init(jax.random.PRNGKey(0), y)
+
+        def loss_pair(v):
+            (lr, fr), (lg, fg) = d.apply(v, y, False, True, pair=y_hat)
+            return (
+                jnp.sum(jnp.abs(lr)) + jnp.sum(jnp.abs(lg))
+                + 0.1 * sum(jnp.mean(jnp.abs(a - b)) for a, b in zip(fr, fg))
+            )
+
+        def loss_two(v):
+            lr, fr = d.apply(v, y)
+            lg, fg = d.apply(v, y_hat)
+            return (
+                jnp.sum(jnp.abs(lr)) + jnp.sum(jnp.abs(lg))
+                + 0.1 * sum(jnp.mean(jnp.abs(a - b)) for a, b in zip(fr, fg))
+            )
+
+        lp, gp = jax.value_and_grad(loss_pair)(v)
+        lt, gt = jax.value_and_grad(loss_two)(v)
+        np.testing.assert_allclose(float(lp), float(lt), rtol=1e-6)
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gp),
+            jax.tree_util.tree_leaves_with_path(gt),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                err_msg=f"{impl} {jax.tree_util.keystr(pa)}",
+            )
