@@ -123,27 +123,41 @@ def summarize_params(name: str, variables: Any) -> str:
 def resolve_mesh(config: dict, mesh="auto"):
     """Data-parallel mesh policy for the distillation trainer.
 
-    ``mesh='auto'`` builds a ('data','model') mesh over ALL devices (model=1)
-    when more than one device is visible AND the train batch divides over
-    them; a too-small batch (the production config trains at batch 3) falls
-    back to single-device rather than silently padding. Pass a Mesh to force
-    one, or None to disable."""
+    ``mesh='auto'`` builds a ('data','model') mesh (model=1) over the
+    LARGEST device subset whose size divides the train batch — the full
+    device set when the batch divides it, otherwise a divisor subset (the
+    production config trains at batch 3: on an 8-chip v5e slice that is a
+    3-device data mesh — 3 chips each at batch 1 beat 1 chip at batch 3;
+    the remaining chips idle). Every batch the step shards is a multiple of
+    the train batch (the mix pipeline only expands/concats whole batches:
+    distill/train.py compute_losses), so one divisor choice serves every
+    internal batch. A batch with no divisor >1 among the device counts
+    falls back to single-device rather than silently padding. Pass a Mesh
+    to force one, or None to disable."""
     if mesh is None or isinstance(mesh, Mesh):
         return mesh
-    n = len(jax.devices())
+    devices = jax.devices()
+    n = len(devices)
     if n <= 1:
         return None
     batch = config["loops"]["train"]["batch_size"]
-    if batch % n != 0:
+    d = next((k for k in range(n, 1, -1) if batch % k == 0), 1)
+    if d <= 1:
         print(
-            f"distill: {n} devices visible but train batch {batch} does not "
-            f"divide; running single-device (set loops.train.batch_size to a "
-            f"multiple of {n} to enable data parallelism)"
+            f"distill: {n} devices visible but train batch {batch} shares no "
+            f"divisor with any device subset; running single-device (set "
+            f"loops.train.batch_size to a multiple of a device count to "
+            f"enable data parallelism)"
         )
         return None
     from hifigan_tpu.parallel.mesh import create_mesh
 
-    return create_mesh(model=1)
+    if d < n:
+        print(
+            f"distill: train batch {batch} does not divide {n} devices; "
+            f"using a {d}-device data mesh (largest divisor subset)"
+        )
+    return create_mesh(model=1, devices=devices[:d])
 
 
 def initialize(config: dict, datasets: dict, logs_base: str = DEFAULT_LOGS_BASE,
@@ -164,7 +178,8 @@ def initialize(config: dict, datasets: dict, logs_base: str = DEFAULT_LOGS_BASE,
     weights = train_ds.label_weights_groups
 
     models = DistillModels(
-        config, example, weights, sampling_rate=config["sampling_rate"]
+        config, example, weights, sampling_rate=config["sampling_rate"],
+        mesh=mesh,  # fused member/stream kernels shard_map over its 'data'
     )
     if cache_model_configs:
         # cache every generated module config for reproducibility (ref :888-914)

@@ -339,7 +339,8 @@ def _lower_mel_branch(module, sb, mel_cfg, raw, f2, dt, t0):
 class _SegBuilder:
     """Accumulates levels/ops/tables for one fused segment."""
 
-    def __init__(self, interpret: bool, weight_grads: bool = True):
+    def __init__(self, interpret: bool, weight_grads: bool = True,
+                 mesh=None, batch_axis: str = "data"):
         self.levels: list[Level] = []
         self.inputs: list = []  # folded input arrays, level order
         self.ops: list[Op] = []
@@ -347,6 +348,8 @@ class _SegBuilder:
         self.biases: list = []
         self.interpret = interpret
         self.weight_grads = weight_grads
+        self.mesh = mesh
+        self.batch_axis = batch_axis
         self.meta: list = []  # (t, c, f) per level, for unfolds
 
     def add_input(self, x, f):
@@ -390,6 +393,7 @@ class _SegBuilder:
         outs = fused_stream_graph(
             seg, self.inputs, self.tables, self.biases,
             interpret=self.interpret, weight_grads=self.weight_grads,
+            mesh=self.mesh, batch_axis=self.batch_axis,
         )
         # map produced-level index -> output array
         produced = [i for i, lvl in enumerate(self.levels) if not lvl.is_input]
@@ -402,7 +406,8 @@ class _SegBuilder:
 
 def eval_member_pfmap(module, p, args, path: str, *, interpret: bool,
                       plan: _MemberPlan | None = None,
-                      weight_grads: bool = True):
+                      weight_grads: bool = True,
+                      mesh=None, batch_axis: str = "data"):
     """Fused evaluation of a pfmap(all_in_one_discriminator) node.
 
     Mirrors ConfigurableModule._node's 'pfmap' contract: returns
@@ -411,6 +416,9 @@ def eval_member_pfmap(module, p, args, path: str, *, interpret: bool,
     created through the same NormConv1d names as the interpreter would.
     ``plan``: the caller's already-parsed _MemberPlan (the gate in
     ConfigurableModule._node parses to pattern-check; avoid re-parsing).
+    ``mesh``/``batch_axis``: run the fused kernels under jax.shard_map with
+    the waveform batch split over the mesh's data axis (weights replicated)
+    — the multi-chip DP wiring (fused_stream_graph docstring).
     """
     from hifigan_tpu.models.layers import NormConv1d
 
@@ -456,7 +464,7 @@ def eval_member_pfmap(module, p, args, path: str, *, interpret: bool,
 
     for j, blk in enumerate(plan.blocks):
         f1, f_in, f2 = blk_folds[j]
-        sb = _SegBuilder(interpret, weight_grads)
+        sb = _SegBuilder(interpret, weight_grads, mesh, batch_axis)
         jpath = f"{path}_pfm_aiod_{j}"
 
         if j == 0:

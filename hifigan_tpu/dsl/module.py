@@ -154,6 +154,16 @@ class ConfigurableModule(nn.Module):
     # their grads — only use for frozen copies. No effect on the
     # interpreter paths (XLA DCEs those on its own).
     weight_grads: bool = True
+    # Device mesh for the fused member/stream kernels: when set, the Pallas
+    # calls run under jax.shard_map with the waveform batch split over
+    # ``mesh_batch_axis`` and the weights replicated (the shard_map
+    # transpose inserts the weight-grad psum) — exactly the MSD's
+    # DiscriminatorS.mesh wiring. Without it GSPMD treats the opaque Mosaic
+    # calls as replicated and defeats data parallelism. The wiring composes
+    # with the ensemble nn.vmap (vmap-of-shard_map). distill.main threads
+    # the trainer's mesh here via DistillModels(mesh=...).
+    mesh: Any = None
+    mesh_batch_axis: str = "data"
     # Internal (vmapped-ensemble support): also return the tagged-feature
     # side channel as a {"{i}|{tags!r}": value} dict so it can cross an
     # nn.vmap boundary (string tags live in the treedef, values are arrays).
@@ -166,15 +176,25 @@ class ConfigurableModule(nn.Module):
             object.__setattr__(self, "config", normalize_config(self.config))
         super().__post_init__()
 
+    def _mesh_data_size(self) -> int:
+        return (
+            self.mesh.shape.get(self.mesh_batch_axis, 1)
+            if self.mesh is not None
+            else 1
+        )
+
     def _resolved_member_impl(self) -> str:
         """'auto' -> 'fused' on a single accelerator device (measured win,
-        see the member_impl attribute note), interpreter otherwise. The
-        fused path only changes HOW a pfmap member evaluates — the param
-        tree is identical either way, so auto may differ across hosts or
-        backends without breaking checkpoints."""
+        see the member_impl attribute note) or on multi-device hosts whose
+        mesh is wired in (the shard_map wiring — ``mesh`` attr); interpreter
+        otherwise. The fused path only changes HOW a pfmap member evaluates
+        — the param tree is identical either way, so auto may differ across
+        hosts or backends without breaking checkpoints."""
         if self.member_impl != "auto":
             return self.member_impl
-        if jax.default_backend() != "cpu" and len(jax.devices()) == 1:
+        if jax.default_backend() == "cpu":
+            return "interpret"
+        if len(jax.devices()) == 1 or self._mesh_data_size() > 1:
             return "fused"
         return "interpret"
 
@@ -276,6 +296,8 @@ class ConfigurableModule(nn.Module):
             conv_impl=self.conv_impl,
             member_impl=self.member_impl,
             weight_grads=self.weight_grads,
+            mesh=self.mesh,
+            mesh_batch_axis=self.mesh_batch_axis,
             return_feats=True,
             name=f"{path}_ens",
         )
@@ -566,7 +588,13 @@ class ConfigurableModule(nn.Module):
             captured = [v for t, v in f if any(tag in tags_to_find for tag in t)]
             return {"output": out, "features": captured}, f
         if name == "pfmap":
-            if self._resolved_member_impl() in ("fused", "fused_interpret"):
+            impl = self._resolved_member_impl()
+            n_data = self._mesh_data_size()
+            # a wired mesh can only shard batches it divides (shard_map);
+            # others (e.g. the batch-1 init trace) take the interpreter —
+            # same param tree either way
+            mesh_ok = n_data <= 1 or args[0].shape[0] % n_data == 0
+            if impl in ("fused", "fused_interpret") and mesh_ok:
                 from hifigan_tpu.dsl.fused_member import (
                     StreamUnsupported,
                     eval_member_pfmap,
@@ -580,9 +608,10 @@ class ConfigurableModule(nn.Module):
                 else:
                     return eval_member_pfmap(
                         self, p, args, path, plan=plan,
-                        interpret=self._resolved_member_impl()
-                        == "fused_interpret",
+                        interpret=impl == "fused_interpret",
                         weight_grads=self.weight_grads,
+                        mesh=self.mesh if n_data > 1 else None,
+                        batch_axis=self.mesh_batch_axis,
                     )
             sub_cfg, tags_to_find, feature_models = p
             out, f = self._eval(sub_cfg, args, f"{path}_pfm")

@@ -265,7 +265,11 @@ def _run_fused(module, run: _Run, x, *, interpret: bool,
     f = run.fold  # shared time fold; level lanes = f * c
     dt = x.dtype
 
-    sb = _SegBuilder(interpret, weight_grads)
+    # mesh-wired like the member kernels: batch split over the module's data
+    # axis under shard_map (fused_stream_graph docstring); divisibility is
+    # the caller's gate (eval_stream_fused)
+    sb = _SegBuilder(interpret, weight_grads, module.mesh,
+                     module.mesh_batch_axis)
     slots = [sb.add_input(x, f)]
     ts = [t0]
     cs = [c0]
@@ -321,13 +325,21 @@ def eval_stream_fused(module, cfg, x, path: str, *, interpret: bool,
     feats: list = []
     val = x
     i = 0
+    n_data = (
+        module.mesh.shape.get(module.mesh_batch_axis, 1)
+        if module.mesh is not None
+        else 1
+    )
     while i < len(atoms):
         c = (
             int(val.shape[-1])
             if getattr(val, "ndim", 0) == 3
             else None
         )
-        if c is not None and c <= 384:  # wider convs are MXU-fine on XLA
+        # skip fusion when a wired mesh can't split this batch (shard_map
+        # needs batch % n_data == 0); the interpreter path is exact
+        mesh_ok = n_data <= 1 or val.shape[0] % n_data == 0
+        if c is not None and c <= 384 and mesh_ok:  # wider convs are MXU-fine on XLA
             run, consumed = _linearize_run(atoms[i:], c)
             if run.n_convs >= 2:
                 val = _run_fused(module, run, val, interpret=interpret,

@@ -59,6 +59,9 @@ from jax.experimental.pallas import tpu as pltpu
 # last backward's liveness/perturbation detection (debug/tests only)
 LAST_BWD_DY_MASK: tuple[bool, ...] | None = None
 LAST_BWD_PERTURBED: tuple | None = None
+# trace-time forward-call counter (tests assert the fused path engaged —
+# the DSL gates fall back to the interpreter silently)
+FUSED_CALLS: int = 0
 
 
 @jax.tree_util.register_static
@@ -781,6 +784,8 @@ def fused_stream_graph(
     *,
     interpret: bool = False,
     weight_grads: bool = True,
+    mesh: jax.sharding.Mesh | None = None,
+    batch_axis: str = "data",
 ) -> list[jax.Array]:
     """Run one stream-graph segment as a single fused Pallas kernel.
 
@@ -798,13 +803,53 @@ def fused_stream_graph(
     discriminator-copy pass): the backward kernel skips every weight-grad
     dot (~half its MACs) and returns ZERO table/bias cotangents — using it
     while actually differentiating the weights gives silently zero grads.
+
+    ``mesh``: under a multi-device mesh GSPMD treats the Mosaic call as
+    opaque and would replicate its operands; passing the mesh instead runs
+    the kernel under ``jax.shard_map`` with the element (N) axis split over
+    ``batch_axis`` and the tables/biases replicated — each device runs the
+    unchanged single-chip kernel on its local shard, and the shard_map
+    transpose inserts the table/bias-grad psum (same scheme as
+    conv_stack.fused_conv_stack). Composes with the ensemble ``nn.vmap``
+    (vmap-of-shard_map batches the member axis through). Requires N
+    divisible by the axis size.
     """
+    global FUSED_CALLS
+    FUSED_CALLS += 1
     n_elems = inputs[0].shape[0]
     dt = inputs[0].dtype
-    core = _get_core(seg, n_elems, jnp.dtype(dt).itemsize, bool(interpret),
-                     bool(weight_grads))
     tables = [t.astype(dt) for t in tables]
     biases = [b.astype(jnp.float32) for b in biases]
+    n_in, n_tab = len(inputs), len(tables)
+    if mesh is not None and mesh.shape.get(batch_axis, 1) > 1:
+        from jax.sharding import PartitionSpec as P
+
+        n_shards = mesh.shape[batch_axis]
+        if n_elems % n_shards:
+            raise ValueError(
+                f"fused_stream_graph: batch {n_elems} not divisible by "
+                f"mesh axis '{batch_axis}' ({n_shards})"
+            )
+
+        def local(*args):
+            core = _get_core(
+                seg, n_elems // n_shards, jnp.dtype(dt).itemsize,
+                bool(interpret), bool(weight_grads),
+            )
+            return core(*args)
+
+        sharded = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(batch_axis),) * n_in + (P(),) * (n_tab + len(biases)),
+            out_specs=P(batch_axis),
+            # Pallas outputs carry no varying-manual-axes metadata; the
+            # composition (incl. the replicated-table grad psum and the
+            # ensemble vmap) is validated in tests/test_parallel.py.
+            check_vma=False,
+        )
+        return list(sharded(*inputs, *tables, *biases))
+    core = _get_core(seg, n_elems, jnp.dtype(dt).itemsize, bool(interpret),
+                     bool(weight_grads))
     return list(core(*inputs, *tables, *biases))
 
 

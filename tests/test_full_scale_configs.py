@@ -139,3 +139,55 @@ def test_full_scale_discriminator_and_keepers(shipped):
     )
     probs = out["mean"]["content"]
     assert probs["phones"].shape == (1, seg // emb, 72)
+
+
+def test_production_topology_fused_member_smoke(shipped):
+    """COMPILED smoke of the production discriminator topology with the
+    fused member kernels ON (round-3 VERDICT weak #5): the full 12-layer
+    all-in-one stack from the shipped config — production channel widths
+    1..144, every rechannel/roll/mel geometry — lowered via
+    member_impl='fused_interpret', one forward+backward on CPU. Catches
+    fused-lowering regressions that the shape-only eval_shape tests and the
+    toy-geometry parity tests cannot. Reduced: segment 43680/40=1092 (same
+    divisibility class: 2^2*3*7*13), ensemble 1, batch 1."""
+    from hifigan_tpu.ops.pallas import stream_graph
+
+    seg = 1092
+    disc_layers = parse_layers(shipped["models"]["discriminator"]["layers"])
+    dcfg = get_discriminator_config(
+        disc_layers,
+        expansion_size=shipped["models"]["discriminator"]["expansion"],
+        ensemble_size=1,
+    )
+    disc = ConfigurableModule(
+        config=dcfg, mel_sampling_rate_override=shipped["sampling_rate"],
+        member_impl="fused_interpret",
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, seg, 1)), jnp.float32
+    ) * 0.1
+    calls0 = stream_graph.FUSED_CALLS
+    v = disc.init({"params": jax.random.PRNGKey(0)}, x,
+                  mutable=["params", "spectral", "valves"])
+    assert stream_graph.FUSED_CALLS > calls0, "fused member path did not engage"
+
+    def loss(v):
+        out = disc.apply(v, x, mutable=["spectral"])[0]
+        # mean + features only: a 1-member ensemble's ddof=1 variance is
+        # NaN by definition (same in torch; the reference never runs
+        # ensemble=1), so variance stays out of the smoke's loss
+        return sum(
+            jnp.sum(jnp.abs(l))
+            for l in jax.tree_util.tree_leaves(out["output"]["mean"])
+        ) + 0.1 * sum(
+            jnp.mean(jnp.abs(f))
+            for f in jax.tree_util.tree_leaves(out["features"])
+        )
+
+    stream_graph.LAST_BWD_DY_MASK = None
+    l, g = jax.jit(jax.value_and_grad(loss))(v)
+    assert stream_graph.LAST_BWD_DY_MASK is not None  # fused VJP traced
+    assert np.isfinite(float(l))
+    gl = jax.tree_util.tree_leaves(g["params"])
+    assert all(np.all(np.isfinite(np.asarray(a))) for a in gl)
+    assert any(float(jnp.max(jnp.abs(a))) > 0 for a in gl)
