@@ -16,10 +16,14 @@ the DSP is implemented natively (numpy/scipy):
 - Reverb: sox's `reverb -w` is freeverb; natively a Schroeder/freeverb-style
   comb+allpass network with freeverb's stereo-spread constants.
 - Hilbert: FIR Hilbert transformer (odd length, Blackman window) like sox.
-- Codec: 'wav' = 8-bit mu-law round trip (native); 'gsm'/'mp3'/'vorbis'
-  degrade to a band-limit + bitrate-ish simulation when no codec binary is
-  available, reported as the same label value (the reference's own
-  degrade-gracefully precedent is NoiseAugmentor's 'disabled', ref :32-33).
+- Codec: 'wav' = 8-bit mu-law round trip (native); 'gsm' = the from-spec
+  GSM 06.10 codec (native/gsm0610.cpp); 'mp3'/'vorbis' = REAL round trips
+  through the system codec libraries (lame->mpg123, vorbisenc/ogg ->
+  vorbis synthesis; data/codecs.py ctypes bindings — same parameters as
+  the reference's apply_codec calls, ref :72-95). Each codec degrades to a
+  documented stand-in only when its library is missing (the reference's
+  own degrade-gracefully precedent is NoiseAugmentor's 'disabled',
+  ref :32-33).
 """
 
 from __future__ import annotations
@@ -263,14 +267,25 @@ class CodecAugmentor:
                 else:  # lib not built: telephone band + mu-law approximation
                     wav = band_limit(wav, self.sample_rate, 3400.0)
                     wav = mu_law_roundtrip(wav)
-            elif aug_parameter in ("mp3", "vorbis"):
-                # no mp3/vorbis encoder exists on this host (no lame/ffmpeg);
-                # honest stand-in: an MDCT transform codec with the same
-                # artifact class (quantisation smearing, pre-echo, band kill).
-                # mp3-like: 1024-sample granules; vorbis-like: 2048 blocks.
-                wav = mdct_codec_roundtrip(
-                    wav, self.sample_rate, n=1024 if aug_parameter == "mp3" else 2048
-                )
+            elif aug_parameter == "mp3":
+                # REAL lame->mpg123 round trip when the system libs exist
+                # (reference: apply_codec(format='mp3', compression=-9) ==
+                # lame VBR q9); MDCT transform-codec stand-in otherwise
+                from hifigan_tpu.data import codecs
+
+                if codecs.mp3_available():
+                    wav = codecs.mp3_roundtrip(wav, self.sample_rate, vbr_quality=9)
+                else:
+                    wav = mdct_codec_roundtrip(wav, self.sample_rate, n=1024)
+            elif aug_parameter == "vorbis":
+                # REAL vorbisenc/ogg round trip (reference compression=-1 ==
+                # vorbis base quality -0.1); MDCT stand-in otherwise
+                from hifigan_tpu.data import codecs
+
+                if codecs.vorbis_available():
+                    wav = codecs.vorbis_roundtrip(wav, self.sample_rate, quality=-0.1)
+                else:
+                    wav = mdct_codec_roundtrip(wav, self.sample_rate, n=2048)
             wav = wav[:n]
         return labels, wav, aug_parameter
 

@@ -339,3 +339,57 @@ def test_warm_label_caches_parallel(corpus):
     cache.mkdir(parents=True)
     warm_label_caches(ds, workers=2)
     assert len(list(cache.glob("*.pickle"))) == len(ds)
+
+
+def test_real_codec_roundtrips():
+    """Real MP3 (lame->mpg123) and Vorbis (vorbisenc/ogg->synthesis) round
+    trips via the system codec libraries (data/codecs.py): length-preserving,
+    time-aligned (no residual codec delay), tonal content survives (SNR well
+    above the quantisation floor), and real lossy artifacts are present
+    (the round trip is NOT the identity). Skips only if the libs are absent
+    (the CodecAugmentor then uses the documented MDCT stand-in)."""
+    import pytest
+
+    from hifigan_tpu.data import codecs
+
+    sr = 22050
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t)
+            + 0.2 * np.sin(2 * np.pi * 1320 * t)).astype(np.float32)
+    for name, avail, fn in (
+        ("mp3", codecs.mp3_available, codecs.mp3_roundtrip),
+        ("vorbis", codecs.vorbis_available, codecs.vorbis_roundtrip),
+    ):
+        if not avail():
+            pytest.skip(f"{name} libraries not present")
+        y = fn(tone, sr)
+        assert y.shape == tone.shape and y.dtype == np.float32
+        assert np.all(np.isfinite(y))
+        err = np.sqrt(np.mean((tone - y) ** 2))
+        sig = np.sqrt(np.mean(tone ** 2))
+        snr = 20 * np.log10(sig / max(err, 1e-9))
+        assert snr > 12.0, f"{name} snr {snr:.1f} dB — misaligned or broken"
+        assert err > 1e-4, f"{name} round trip is suspiciously lossless"
+        # alignment: cross-correlation peak at zero lag
+        xc = np.correlate(y[:6000], tone[:6000], "full")
+        lag = int(np.argmax(xc)) - 5999
+        assert abs(lag) <= 55, f"{name} residual codec delay {lag} samples"
+
+
+def test_codec_augmentor_uses_real_codecs():
+    """CodecAugmentor 'mp3'/'vorbis' route through the real codec bindings
+    when available, preserving the augment() label protocol."""
+    from hifigan_tpu.data.augmentation import CodecAugmentor
+    from hifigan_tpu.data import codecs
+
+    sr = 16000
+    aug = CodecAugmentor(sr)
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(sr) * 0.2).astype(np.float32)
+    for fmt in ("mp3", "vorbis", "wav", "gsm"):
+        labels, out, val = aug.augment(
+            np.random.default_rng(0), {}, {}, wav.copy(), fmt
+        )
+        assert val == fmt and out.shape == wav.shape
+        assert np.all(np.isfinite(out))
+        assert not np.allclose(out, wav)  # the codec really transformed it
