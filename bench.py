@@ -23,6 +23,7 @@ path: all MRF stages fused incl. wide stage-0, dot-form upsamplers).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -203,6 +204,123 @@ def bench_inference_rtf(version: str, batch: int = 128, frames: int = 256,
     return batch * frames * hop / sr / dt
 
 
+def bench_distill_step() -> None:
+    """Production-scale distillation train step (the SHIPPED
+    configs/distill.json: embedding 273, batch 3 x 43680 @16 kHz, all six
+    optimizer groups in one jitted step — the reference's primary trainer,
+    lightning_model.py:297-482). member_impl='auto' resolves to the fused
+    Pallas member kernels on the single chip (docs/OPERATIONS.md: 77.6 ms
+    = 105.5x RT vs 133.8 interpreter). vs_baseline = training throughput in
+    x realtime; the reference publishes no trainer throughput. Compile is
+    ~3 min cold; the persistent compile cache makes re-runs cheap."""
+    import numpy as np
+
+    from hifigan_tpu.distill.model import DistillModels
+    from hifigan_tpu.distill.train import DistillTrainer
+
+    config = json.load(open(os.path.join(os.path.dirname(__file__),
+                                         "configs", "distill.json")))
+    labels = {
+        "content": {"speaker": list(range(40)), "sex": list(range(3)),
+                    "phones": list(range(72)), "sad": list(range(2))},
+        "style": {"mic-brand": list(range(5)), "noise": list(range(5)),
+                  "rir": list(range(3)), "lowpass": list(range(2)),
+                  "highpass": list(range(2)), "reverb": list(range(2)),
+                  "hilbert": list(range(2)), "codec": list(range(5))},
+    }
+    uniform = lambda n: {  # noqa: E731
+        "true": tuple([1.0 / n] * n), "false": tuple([1.0 - 1.0 / n] * n)
+    }
+    weights = {g: {k: uniform(len(v)) for k, v in group.items()}
+               for g, group in labels.items()}
+    seg = config["loops"]["train"]["segment_length"]
+    sr = config["sampling_rate"]
+    models = DistillModels(config, labels, weights, sampling_rate=sr,
+                           compute_dtype="bfloat16")
+    trainer = DistillTrainer(models, config)
+    state = trainer.create_state(jax.random.PRNGKey(0), seg)
+    rng = np.random.default_rng(0)
+    bsz = trainer.batch_size
+    t_emb = seg // models.embedding_size
+    batch = {
+        "audio": rng.standard_normal((bsz, seg)).astype(np.float32) * 0.1,
+        "time_labels": {
+            g: {k: rng.integers(0, len(v), (bsz, t_emb))
+                for k, v in group.items()}
+            for g, group in models.example_labels.items()
+        },
+    }
+    step = trainer.make_train_step(donate=False)
+    state, losses = step(state, batch, jax.random.PRNGKey(1))
+    float(losses["total"])  # compile + real fetch
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, losses = step(state, batch, jax.random.PRNGKey(2 + i))
+    float(losses["total"])
+    dt = (time.perf_counter() - t0) / iters
+    audio_seconds = bsz * seg / sr
+    emit("distill_step_ms", round(dt * 1000, 1), "ms_b3x43680",
+         round(audio_seconds / dt, 1))
+
+
+def bench_v3_cpu() -> None:
+    """V3 wav->mel->wav end-to-end on ONE CPU core (the reference's
+    published small-footprint number: 13.4x RT on CPU, README.md:19-20 —
+    BASELINE config #1). Runs in a clean JAX_PLATFORMS=cpu subprocess (this
+    process holds the TPU client; backend-aware method='auto' picks rFFT
+    mel + polyphase transposed convs on CPU)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # sitecustomize TPU plugin gate
+    env["JAX_PLATFORMS"] = "cpu"
+    child = r"""
+import json, time
+import jax, jax.numpy as jnp
+from hifigan_tpu.config import get_config, upsample_hop
+from hifigan_tpu.models import Generator, fold_weight_norm
+from hifigan_tpu.audio.mel import MelConfig, log_mel_spectrogram
+
+h = get_config("v3")
+sr = h["sampling_rate"]
+dur_s = 8.0
+t = int(dur_s * sr) // upsample_hop(h) * upsample_hop(h)
+wav = jax.random.normal(jax.random.PRNGKey(0), (1, t), jnp.float32) * 0.1
+cfg = MelConfig(n_fft=h["n_fft"], num_mels=h["num_mels"], sampling_rate=sr,
+                hop_size=h["hop_size"], win_size=h["win_size"],
+                fmin=h["fmin"], fmax=h["fmax"])
+mel0 = log_mel_spectrogram(wav, cfg)
+gen = Generator(h, folded=True)
+params = fold_weight_norm(Generator(h).init(jax.random.PRNGKey(1), mel0)["params"])
+e2e = jax.jit(lambda p, w, acc: acc + gen.apply(
+    {"params": p}, log_mel_spectrogram(w, cfg)).sum())
+acc = e2e(params, wav, jnp.zeros(()))
+float(acc)
+iters = 5
+acc = jnp.zeros(())
+t0 = time.perf_counter()
+for _ in range(iters):
+    acc = e2e(params, wav, acc)
+float(acc)
+dt = (time.perf_counter() - t0) / iters
+print(json.dumps({"rtf": t / sr / dt}))
+"""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", child], env=env, capture_output=True,
+            text=True, timeout=900, cwd=os.path.dirname(__file__) or ".",
+        )
+        rtf = json.loads(out.stdout.strip().splitlines()[-1])["rtf"]
+    except Exception as e:  # CPU bench must never sink the TPU metrics
+        print(f"# v3_cpu_rtf failed: {e}", flush=True)
+        return
+    emit("v3_cpu_rtf", round(rtf, 1), "x_realtime_22k05_1cpu",
+         round(rtf / 13.4, 2))
+
+
 if __name__ == "__main__":
     bench_train()
     bench_b1_serving()
@@ -210,6 +328,8 @@ if __name__ == "__main__":
         rtf = bench_inference_rtf(version)
         emit(f"{version}_mel_to_wav_rtf", round(rtf, 1), "x_realtime_22k05_b128",
              round(rtf / BASELINE_RTF, 2))
+    bench_distill_step()
+    bench_v3_cpu()
     # headline V1 inference RTF stays the LAST line for the driver parser
     rtf = bench_inference_rtf("v1")
     emit("v1_mel_to_wav_rtf_per_chip", round(rtf, 1), "x_realtime_22k05",
