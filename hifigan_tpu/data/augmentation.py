@@ -226,21 +226,26 @@ class RirAugmentor:
         return labels, wav, aug_parameter
 
 
-def gsm_roundtrip(wav: np.ndarray, sr: int) -> np.ndarray:
-    """Real GSM 06.10 (RPE-LTP) round trip via native/gsm0610.cpp, with the
-    codec's native 8 kHz rate handled by polyphase resampling (what sox does
-    under torchaudio's apply_codec, reference augmentation_methods.py:72-95)."""
+def gsm_roundtrip(wav: np.ndarray, sr: int, impl=None) -> np.ndarray:
+    """Real GSM 06.10 (RPE-LTP) round trip, with the codec's native 8 kHz
+    rate handled by polyphase resampling (what sox does under torchaudio's
+    apply_codec, reference augmentation_methods.py:72-95). ``impl``: the
+    8 kHz codec function — the canonical libgsm binding
+    (codecs.gsm_roundtrip_libgsm_8k) or the from-spec float adaptation
+    (native.gsm0610_roundtrip_8k, default)."""
     from math import gcd
 
     from hifigan_tpu.data import native
 
+    if impl is None:
+        impl = native.gsm0610_roundtrip_8k
     n = len(wav)
     if sr != 8000:
         g = gcd(sr, 8000)
         x8 = signal.resample_poly(wav, 8000 // g, sr // g).astype(np.float32)
     else:
         x8 = np.asarray(wav, np.float32)
-    y8 = native.gsm0610_roundtrip_8k(x8)
+    y8 = impl(x8)
     if sr != 8000:
         out = signal.resample_poly(y8, sr // g, 8000 // g).astype(np.float32)
     else:
@@ -262,7 +267,14 @@ class CodecAugmentor:
             if aug_parameter == "wav":  # ULAW 8-bit
                 wav = mu_law_roundtrip(wav)
             elif aug_parameter == "gsm":
-                if native.gsm0610_available():
+                from hifigan_tpu.data import codecs
+
+                if codecs.libgsm_available():
+                    # canonical ETSI fixed-point libgsm (what sox uses)
+                    wav = gsm_roundtrip(wav, self.sample_rate,
+                                        impl=codecs.gsm_roundtrip_libgsm_8k)
+                elif native.gsm0610_available():
+                    # from-spec float adaptation (native/gsm0610.cpp)
                     wav = gsm_roundtrip(wav, self.sample_rate)
                 else:  # lib not built: telephone band + mu-law approximation
                     wav = band_limit(wav, self.sample_rate, 3400.0)

@@ -331,3 +331,45 @@ def vorbis_roundtrip(wav: np.ndarray, sr: int, quality: float = -0.1) -> np.ndar
     if len(y) < n:
         y = np.pad(y, (0, n - len(y)))
     return np.asarray(y, np.float32)
+
+
+# ---------------------------------------------------------------------------
+# GSM 06.10 via the canonical libgsm (bit-exact ETSI fixed-point)
+# ---------------------------------------------------------------------------
+
+
+def libgsm_available() -> bool:
+    try:
+        C.CDLL("libgsm.so.1")
+        return True
+    except OSError:
+        return False
+
+
+def gsm_roundtrip_libgsm_8k(wav: np.ndarray) -> np.ndarray:
+    """8 kHz float PCM through the CANONICAL libgsm encode+decode (160-sample
+    frames, 33-byte packets). Preferred over the from-spec float adaptation
+    in native/gsm0610.cpp when the system library exists — libgsm is the
+    ETSI reference fixed-point code (what sox/torchaudio use underneath,
+    reference augmentation_methods.py:72-95)."""
+    lg = C.CDLL("libgsm.so.1")
+    lg.gsm_create.restype = C.c_void_p
+    x = np.ascontiguousarray(np.clip(wav, -1.0, 1.0), np.float32)
+    n = len(x)
+    n_pad = (-n) % 160
+    pcm = (np.pad(x, (0, n_pad)) * 32767.0).astype(np.int16)
+    out = np.zeros_like(pcm)
+    h_enc = C.c_void_p(lg.gsm_create())
+    h_dec = C.c_void_p(lg.gsm_create())
+    try:
+        frame = (C.c_ubyte * 33)()
+        for f in range(len(pcm) // 160):
+            seg = np.ascontiguousarray(pcm[f * 160 : (f + 1) * 160])
+            lg.gsm_encode(h_enc, seg.ctypes.data_as(C.c_void_p), frame)
+            dec = np.zeros(160, np.int16)
+            lg.gsm_decode(h_dec, frame, dec.ctypes.data_as(C.c_void_p))
+            out[f * 160 : (f + 1) * 160] = dec
+    finally:
+        lg.gsm_destroy(h_enc)
+        lg.gsm_destroy(h_dec)
+    return (out[:n].astype(np.float32) / 32768.0)

@@ -117,3 +117,36 @@ def test_mdct_codec_roundtrip_artifacts():
     f = np.fft.rfftfreq(len(b), 1 / sr)
     spec = np.abs(np.fft.rfft(b))
     assert spec[f > 0.45 * sr / 2].max() < 0.01 * spec.max()  # band kill
+
+
+def test_gsm0610_matches_libgsm_oracle():
+    """Cross-validate the from-spec float GSM 06.10 adaptation
+    (native/gsm0610.cpp) against the CANONICAL libgsm fixed-point
+    implementation (codecs.gsm_roundtrip_libgsm_8k): the float adaptation
+    must track the oracle closely (corr > 0.94 — the residual is the
+    fixed-point quantisation the float form smooths over), and the
+    CodecAugmentor must prefer the canonical library when present."""
+    import pytest
+
+    from hifigan_tpu.data import codecs, native
+
+    if not codecs.libgsm_available():
+        pytest.skip("libgsm not present")
+
+    rng = np.random.default_rng(0)
+    n = 160 * 25  # whole GSM frames
+    x = (0.4 * np.sin(2 * np.pi * 300 * np.arange(n) / 8000)
+         + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    oracle = codecs.gsm_roundtrip_libgsm_8k(x)
+    assert oracle.shape == x.shape and np.all(np.isfinite(oracle))
+    # the codec transforms but preserves the signal (GSM SNR ~8-12 dB here)
+    num = float(np.dot(oracle, x))
+    den = float(np.linalg.norm(oracle) * np.linalg.norm(x)) + 1e-12
+    assert num / den > 0.8
+
+    if native.gsm0610_available():
+        ours = native.gsm0610_roundtrip_8k(x)
+        num = float(np.dot(ours, oracle))
+        den = float(np.linalg.norm(ours) * np.linalg.norm(oracle)) + 1e-12
+        assert num / den > 0.94, f"float adaptation diverged: corr {num/den}"
