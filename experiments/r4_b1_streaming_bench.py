@@ -57,3 +57,33 @@ for chunk in (32, 64, 128):
           f"{audio_s*1000:.0f} ms chunk = {audio_s/dt:.0f}x RT "
           f"(halo={halo}f)", flush=True)
 print("DONE", flush=True)
+
+
+# ---- stateful streamer (models/streaming.py): per-stage state, no halo
+# recompute — measure per-chunk latency at the same chunk sizes ----
+from hifigan_tpu.models.streaming import make_streaming_vocoder
+
+for chunk in (32, 64):
+    init_state, sstep, delay = make_streaming_vocoder(h, params)
+    state = init_state(1)
+    melc = jax.random.normal(key, (1, h["num_mels"], chunk), jnp.float32) * 2.0 - 5.0
+
+    @jax.jit
+    def one(state, m, acc):
+        state, wav = sstep(state, m)
+        return state, acc + wav.astype(jnp.float32).sum()
+
+    state, acc = one(state, melc, jnp.zeros(()))
+    float(acc)
+    acc = jnp.zeros(())
+    iters = 100
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, acc = one(state, melc, acc)
+    float(acc)
+    dt = (time.perf_counter() - t0) / iters
+    audio_s = chunk * hop / sr
+    print(f"[stream_state_chunk{chunk}] {dt*1000:.3f} ms per "
+          f"{audio_s*1000:.0f} ms chunk = {audio_s/dt:.0f}x RT "
+          f"(delay {delay} samples = {delay/sr*1000:.0f} ms)", flush=True)
+print("DONE2", flush=True)
