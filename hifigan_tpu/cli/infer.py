@@ -59,6 +59,26 @@ def synthesize(a, h, apply, params, x):
     result matches full-sequence synthesis; BASELINE config #3 'batched
     streaming inference with weight-norm folded')."""
     chunk = int(getattr(a, "streaming_chunk", 0) or 0)
+    if chunk > 0 and getattr(a, "streaming_state", False):
+        # stateful streamer: per-stage ring-buffer state, no halo recompute,
+        # lowest algorithmic latency (models/streaming.py). Live-stream
+        # semantics: exact from sample `delay` on; for whole files the tail
+        # is flushed with silence and cropped.
+        from hifigan_tpu.models.streaming import make_streaming_vocoder
+
+        hop = upsample_hop(h)
+        b, m, total = x.shape
+        init_state, step, delay = make_streaming_vocoder(h, params)
+        step = jax.jit(step)
+        state = init_state(batch=b)
+        pad_frames = -(-delay // hop) + chunk
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, pad_frames + (-total % chunk))))
+        outs = []
+        for s in range(0, xp.shape[-1], chunk):
+            state, wav = step(state, xp[:, :, s : s + chunk])
+            outs.append(np.asarray(wav))
+        stream = np.concatenate(outs, axis=-1)
+        return stream[:, :, delay : delay + total * hop]
     if chunk > 0:
         from hifigan_tpu.parallel.halo import generator_halo_frames, streaming_vocode
 
@@ -98,6 +118,10 @@ def main() -> None:
     parser.add_argument("--streaming_chunk", type=int, default=0,
                         help="vocode in fixed windows of N mel frames with "
                              "receptive-field overlap (0 = whole utterance)")
+    parser.add_argument("--streaming_state", action="store_true",
+                        help="with --streaming_chunk: stateful streamer "
+                             "(per-stage state, no halo recompute, lowest "
+                             "latency; models/streaming.py)")
     a = parser.parse_args()
 
     config_file = os.path.join(os.path.split(a.checkpoint_file)[0], "config.json")

@@ -85,3 +85,30 @@ def test_streaming_state_smaller_windows_than_halo():
     assert state[0].shape[1] == 6
     hop = int(np.prod(h["upsample_rates"]))
     assert delay <= halo * hop
+
+
+def test_cli_streaming_state_glue():
+    """cli.infer.synthesize(--streaming_chunk --streaming_state) returns a
+    full-length waveform matching whole-utterance synthesis on the interior
+    (live-stream semantics at the head/tail)."""
+    from types import SimpleNamespace
+
+    from hifigan_tpu.cli.infer import synthesize
+
+    h, params, mel, full = _setup("2")
+    hop = int(np.prod(h["upsample_rates"]))
+    apply = jax.jit(
+        lambda p, m: Generator(h, folded=True).apply({"params": p}, m)
+    )
+    a = SimpleNamespace(streaming_chunk=16, streaming_state=True)
+    y = synthesize(a, h, apply, params, mel)
+    assert y.shape == full.shape
+    from hifigan_tpu.models.streaming import make_streaming_vocoder
+
+    delay = make_streaming_vocoder(h, params, dtype=jnp.float32,
+                                   use_fast=False)[2]
+    total = full.shape[-1]
+    np.testing.assert_allclose(
+        np.asarray(y)[:, :, delay : total - delay],
+        full[:, :, delay : total - delay], rtol=3e-3, atol=3e-3,
+    )
