@@ -62,6 +62,13 @@ LAST_BWD_PERTURBED: tuple | None = None
 # trace-time forward-call counter (tests assert the fused path engaged —
 # the DSL gates fall back to the interpreter silently)
 FUSED_CALLS: int = 0
+# tests only: with interpret=True, execute via the pure-jnp reference
+# executor instead of the Pallas interpreter. Same folded/banded semantics
+# (the Segment/table/plan construction under test is shared; AD is plain
+# jnp), but XLA-compiled — minutes -> seconds for production-geometry
+# smokes. Kernel-body parity keeps using the real interpreter
+# (tests/test_stream_graph.py).
+REFERENCE_EXECUTOR: bool = False
 
 
 @jax.tree_util.register_static
@@ -820,6 +827,11 @@ def fused_stream_graph(
     dt = inputs[0].dtype
     tables = [t.astype(dt) for t in tables]
     biases = [b.astype(jnp.float32) for b in biases]
+    if interpret and REFERENCE_EXECUTOR:
+        return [
+            y.astype(dt)
+            for y in reference_stream_graph(seg, inputs, tables, biases)
+        ]
     n_in, n_tab = len(inputs), len(tables)
     if mesh is not None and mesh.shape.get(batch_axis, 1) > 1:
         from jax.sharding import PartitionSpec as P
