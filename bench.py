@@ -156,7 +156,7 @@ def bench_b1_serving() -> None:
     acc = step(mel, jnp.zeros(()))
     float(acc)  # compile + warm
 
-    iters = 50
+    iters = 100  # tunnel-dispatch jitter averages out slowly at B=1
     acc = jnp.zeros(())
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -168,6 +168,28 @@ def bench_b1_serving() -> None:
     rtf = frames * hop / h["sampling_rate"] / dt
     emit("v1_b1_serving_rtf", round(rtf, 1), "x_realtime_22k05",
          round(rtf / BASELINE_RTF, 2))
+
+    # streaming: fixed 32-frame chunks with the receptive-field halo window
+    # (the interactive-latency serving mode; docs/OPERATIONS.md — measured
+    # 0.885 ms per 372 ms chunk = 420x RT round 4)
+    from hifigan_tpu.parallel.halo import generator_halo_frames
+
+    halo = generator_halo_frames(h)
+    chunk = 32
+    melw = jax.random.normal(
+        key, (1, h["num_mels"], chunk + 2 * halo), jnp.float32
+    ) * 2.0 - 5.0
+    acc = step(melw, jnp.zeros(()))
+    float(acc)
+    acc = jnp.zeros(())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        acc = step(melw, acc)
+    float(acc)
+    dt = (time.perf_counter() - t0) / iters
+    audio_s = chunk * hop / h["sampling_rate"]
+    emit("v1_streaming_rtf_chunk32", round(audio_s / dt, 1),
+         "x_realtime_22k05_372ms_chunks", round(dt * 1000, 3))
 
 
 def bench_inference_rtf(version: str, batch: int = 128, frames: int = 256,
