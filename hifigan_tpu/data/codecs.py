@@ -198,7 +198,7 @@ def vorbis_roundtrip(wav: np.ndarray, sr: int, quality: float = -0.1) -> np.ndar
     is vorbisenc base_quality in [-0.1, 1.0]; the reference's
     ``compression=-1`` is sox's vorbis level -1 == base quality -0.1."""
     ls = _libs()
-    ogg, vbs, enc, vf = ls["ogg"], ls["vorbis"], ls["vorbisenc"], ls["vorbisfile"]
+    ogg, vbs, enc = ls["ogg"], ls["vorbis"], ls["vorbisenc"]
     x = np.ascontiguousarray(np.clip(wav, -1.0, 1.0), np.float32)
     n = len(x)
 
@@ -273,6 +273,8 @@ def vorbis_roundtrip(wav: np.ndarray, sr: int, quality: float = -0.1) -> np.ndar
     vbs.vorbis_info_init(dvi)
     vbs.vorbis_comment_init(dvc)
     outs = []
+    stream_ready = False
+    synth_ready = False
     try:
         buf = ogg.ogg_sync_buffer(oy, C.c_long(len(ogg_bytes)))
         C.memmove(buf, ogg_bytes, len(ogg_bytes))
@@ -281,8 +283,6 @@ def vorbis_roundtrip(wav: np.ndarray, sr: int, quality: float = -0.1) -> np.ndar
         pg2 = _OggPage()
         op2 = _OggPacket()
         n_hdr = 0
-        stream_ready = False
-        synth_ready = False
         vbs.vorbis_synthesis_pcmout.argtypes = [
             C.c_void_p, C.POINTER(C.POINTER(C.POINTER(C.c_float)))
         ]
