@@ -147,8 +147,15 @@ def make_streaming_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
                                     padding=(k - u) // 2)
 
         blocks.append(("up", r_up, up_fn, ch_in, u))
+        r_mrf = mrf_halo[i]
+        if i in packs:
+            # the fused stage kernel folds time into lane blocks of
+            # `block` samples: keep the window length (n + 2R) divisible
+            # by rounding R up (a larger R stays exact — more context)
+            blk = packs[i]["block"]
+            r_mrf = -(-r_mrf // blk) * blk
         blocks.append((
-            "s1", mrf_halo[i],
+            "s1", r_mrf,
             lambda z, i=i, ch=ch: mrf_apply(z, i, ch),
             ch,
         ))
