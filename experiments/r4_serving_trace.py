@@ -31,9 +31,16 @@ params = fold_weight_norm(Generator(h).init(key, mel)["params"])
 variants = sys.argv[1:] or ["default"]
 results = {}
 for name in variants:
+    # variant grammar: base[_tN] — base in {default, mono0}; tN sets
+    # tile_blocks=N (bigger tiles = fewer grid steps AND less halo
+    # overcompute: per-stage compute is n_tiles * (tile_b + 2*halo_b))
     kw = {}
-    if name == "mono0":
-        kw = {"wide_split": "none"}
+    base = name
+    if "_t" in name:
+        base, tb = name.rsplit("_t", 1)
+        kw["tile_blocks"] = int(tb)
+    if base == "mono0":
+        kw["wide_split"] = "none"
     fast = make_fast_vocoder(h, params, **kw)
     step = jax.jit(lambda m, acc: acc + fast(m).astype(jnp.float32).sum())
     acc = step(mel, jnp.zeros(()))

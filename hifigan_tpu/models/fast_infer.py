@@ -35,14 +35,18 @@ from hifigan_tpu.ops.pallas.resblock_tail import (
 
 
 def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
-                      tile_blocks: int = 512, interpret: bool = False,
+                      tile_blocks: int | str = "auto", interpret: bool = False,
                       min_fused_stage: int = 0, fold_post: bool = True,
                       trans_method: str | None = None, fold_up: bool = False,
                       max_fused_ch: int = 256, wide_split: str = "auto"):
     """(folded params, h) -> jittable fn(mel (B, M, T)) -> wav (B, 1, T*hop).
 
     The packed block kernels are baked in as constants (inference-only path;
-    rebuild after updating params). ``fold_post`` folds the generator tail
+    rebuild after updating params). ``tile_blocks='auto'`` (default) picks a
+    per-stage time tile from a calibrated scoped-VMEM budget model (weight
+    tables + ~13 lane-rows of body temporaries per work block ≤ 14 MB) —
+    2048 blocks for V1's narrow stages, 512 for the weight-heavy wide
+    stage-0; see the in-loop comment. ``fold_post`` folds the generator tail
     (lrelu 0.01 -> conv_post -> tanh) into the last fused stage's kernel,
     eliminating the final (T, C) HBM round trip. ``fold_up`` folds each
     fused stage's ConvTranspose1d upsampler (+ its lrelu) into the same
@@ -73,6 +77,7 @@ def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
 
     packs: dict[int, dict] = {}
     splits: dict[int, str] = {}
+    tiles: dict[int, int] = {}
     pre_packs: dict[int, dict] = {}
     for i, (u, k) in stages:
         ch = ch0 // (2 ** (i + 1))
@@ -104,6 +109,28 @@ def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
                     splits[i] = wide_split
             elif wbytes > limit:
                 splits[i] = "pair" if rb_bytes > limit else "resblock"
+            if tile_blocks == "auto":
+                # Per-stage time tile: a larger tile cuts halo overcompute
+                # (per-tile compute is tile_b + 2*halo_b — stage 1 runs 25%
+                # halo at 512) and grid steps, but the kernel's scoped-VMEM
+                # stack — scratch + double-buffered out block + the body's
+                # live vector temporaries — scales with the work size and
+                # shares the 16 MB budget with the per-call weight tables.
+                # Calibrated on v5e OOM reports: the body costs ~13 lane-rows
+                # of bf16 per work block (stage 1 at tile 4096 = 17.16 MB,
+                # over by 1.16; tile 16384 = same; the round-3 tile 512
+                # always fit). Pick the largest tile that keeps
+                # weights + body under 14 MB.
+                eff_w = rb_bytes if i in splits else wbytes
+                lanes = max(block * ch, 128)
+                tiles[i] = 512
+                for cand in (4096, 2048, 1024):
+                    body = 13 * (cand + 160) * lanes * 2
+                    if eff_w + body <= 14 * 1024 * 1024:
+                        tiles[i] = cand
+                        break
+            else:
+                tiles[i] = int(tile_blocks)
             # the upsampler folds when in/out lane widths agree:
             # (block/u) * 2ch == block * ch  <=>  u == 2
             if fold_up and i not in splits and block % u == 0 and (
@@ -145,7 +172,7 @@ def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
             ch = ch0 // (2 ** (i + 1))
             if i in pre_packs:  # lrelu + upsampler folded into the kernel
                 x = fused_tail_stage(
-                    x, packs[i], interpret=interpret, tile_blocks=tile_blocks,
+                    x, packs[i], interpret=interpret, tile_blocks=tiles[i],
                     post_pack=post_pack if i == last_stage else None,
                     pre_pack=pre_packs[i],
                 )
@@ -156,7 +183,7 @@ def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
                                  method=trans_method)
             if i in packs:
                 x = fused_tail_stage(
-                    x, packs[i], interpret=interpret, tile_blocks=tile_blocks,
+                    x, packs[i], interpret=interpret, tile_blocks=tiles[i],
                     split_resblocks=splits.get(i, False),
                     post_pack=post_pack if i == last_stage else None,
                 )

@@ -48,3 +48,22 @@ def test_fast_vocoder_wide_stage0_split_modes(wide_split):
     got = np.asarray(fast(mel))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_fast_vocoder_auto_tiles():
+    """tile_blocks='auto' (the serving default) picks per-stage tiles —
+    4096 blocks for narrow stages, 512 for weight-heavy wide ones — and
+    stays exact; short inputs are handled by the per-call min() clamp."""
+    h = get_config("v1")
+    mel = jnp.asarray(
+        np.random.default_rng(2).standard_normal((1, 80, 16)).astype(np.float32) * 2 - 5
+    )
+    params = Generator(h).init(jax.random.PRNGKey(0), mel)["params"]
+    fp = fold_weight_norm(params)
+    ref = np.asarray(Generator(h, folded=True).apply({"params": fp}, mel))
+
+    fast = make_fast_vocoder(h, fp, dtype=jnp.float32, interpret=True,
+                             trans_method="polyphase_dot")
+    got = np.asarray(fast(mel))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
