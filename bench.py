@@ -16,8 +16,9 @@ batch 128 x 256 mel frames. Timing chains each call's output into an
 on-device accumulator and fetches once at the end — block_until_ready alone
 under-reports through the axon tunnel (async completion), so sequential data
 dependency forces real execution. Measured on TPU v5e: V1 ~2644x real-time
-at batch 128; V2 ~14560x; V3 ~11300x; V1 B=1 serving ~1271x (round-3 fast
-path: all MRF stages fused incl. wide stage-0, dot-form upsamplers).
+at batch 128; V2 ~14560x; V3 ~11300x; V1 B=1 serving ~1511x (round-4 fast
+path: all MRF stages fused incl. wide stage-0, dot-form upsamplers,
+per-stage auto tiles).
 """
 
 from __future__ import annotations

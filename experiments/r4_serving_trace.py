@@ -38,7 +38,10 @@ for name in variants:
     base = name
     if "_t" in name:
         base, tb = name.rsplit("_t", 1)
-        kw["tile_blocks"] = int(tb)
+        if tb.isdigit():
+            kw["tile_blocks"] = int(tb)
+        else:
+            base = name
     if base == "mono0":
         kw["wide_split"] = "none"
     fast = make_fast_vocoder(h, params, **kw)

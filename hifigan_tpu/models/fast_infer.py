@@ -10,9 +10,10 @@ XLA path is faster end-to-end (144 ms vs 160 ms with stage3 fused) — XLA's
 conv lowering amortises better with batch while the kernel's in-VMEM matmul
 chain plateaus at ~80 TF/s. The default inference path therefore stays pure
 XLA; this module is the measured alternative for small-batch / low-latency
-serving: V1 B=1 x 256 mel frames runs at **1271x real time** (2.34 ms; all
-four MRF stages fused incl. the wide 256-ch stage-0, dot-form polyphase
-upsamplers — see make_fast_vocoder).
+serving: V1 B=1 x 256 mel frames runs at **1511x real time** (BENCH_r04,
+tile_blocks='auto' defaults; the round-3 tile=512 form measured 1271x /
+2.34 ms) — all four MRF stages fused incl. the wide 256-ch stage-0,
+dot-form polyphase upsamplers — see make_fast_vocoder.
 
 Exactness: the fused stages match the flax MRF to float tolerance
 (tests/test_pallas_tail.py); end-to-end parity in tests/test_fast_infer.py.
@@ -61,11 +62,12 @@ def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
     measured CPU winner, docs/OPERATIONS.md). ``max_fused_ch`` gates which
     MRF stages run in the fused Pallas kernel: 256 (default) also fuses
     V1's WIDE 256-channel stage-0 at block=1 (lanes = 256, resblock-split
-    to bound VMEM). MEASURED at B=1 (bf16, 256-frame mel, v5e): **1271x
-    RT** (2.34 ms) with stage-0 fused + dot upsamplers, vs 996x with the
-    conv-form upsamplers, 897x with pair-split stage-0, 803x with stage-0
-    left in XLA (max_fused_ch=128), 675x with max_fused_ch=64, and 533x
-    plain-XLA-bf16.
+    to bound VMEM). MEASURED at B=1 (bf16, 256-frame mel, v5e): **1511x
+    RT** with the tile_blocks='auto' defaults (BENCH_r04; the round-3
+    tile=512 form was 1271x / 2.34 ms) with stage-0 fused + dot
+    upsamplers, vs 996x with the conv-form upsamplers, 897x with
+    pair-split stage-0, 803x with stage-0 left in XLA (max_fused_ch=128),
+    675x with max_fused_ch=64, and 533x plain-XLA-bf16.
     """
     if trans_method is None:
         trans_method = (
@@ -124,6 +126,9 @@ def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
                 eff_w = rb_bytes if i in splits else wbytes
                 lanes = max(block * ch, 128)
                 tiles[i] = 512
+                # (2048 is the effective ceiling for every shipped config:
+                # the body alone at 4096 blocks x 128 lanes is ~13.5 MB,
+                # so 4096 only fires for hypothetical <0.5 MB weight tables)
                 for cand in (4096, 2048, 1024):
                     body = 13 * (cand + 160) * lanes * 2
                     if eff_w + body <= 14 * 1024 * 1024:

@@ -52,7 +52,7 @@ def test_fast_vocoder_wide_stage0_split_modes(wide_split):
 
 def test_fast_vocoder_auto_tiles():
     """tile_blocks='auto' (the serving default) picks per-stage tiles —
-    4096 blocks for narrow stages, 512 for weight-heavy wide ones — and
+    2048 blocks for narrow stages, 512 for weight-heavy wide ones — and
     stays exact; short inputs are handled by the per-call min() clamp."""
     h = get_config("v1")
     mel = jnp.asarray(
