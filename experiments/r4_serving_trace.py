@@ -44,6 +44,8 @@ for name in variants:
             base = name
     if base == "mono0":
         kw["wide_split"] = "none"
+    elif base == "bin0":  # round-5: greedy-binned stage-0 split (3 -> 2 calls)
+        kw["wide_split"] = "bin"
     fast = make_fast_vocoder(h, params, **kw)
     step = jax.jit(lambda m, acc: acc + fast(m).astype(jnp.float32).sum())
     acc = step(mel, jnp.zeros(()))

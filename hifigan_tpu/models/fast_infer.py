@@ -96,8 +96,10 @@ def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
             # monolithic 16.5 MB 964x (no OOM — whole-array VMEM operands
             # are single-buffered; the >8 MB OOM gotcha applies to
             # double-buffered windowed inputs), 'pair' split 897x (call
-            # overhead). Auto: resblock-split when the monolithic pack
-            # exceeds ~9 MB, pair-split only if a single resblock does.
+            # overhead). Auto: greedy 'bin' split when the monolithic pack
+            # exceeds ~9 MB (round 5: 1554x vs 1542x for 'resblock' —
+            # fewer launches at the same per-call bound), pair-split only
+            # if a single resblock overruns on its own.
             wbytes = sum(
                 2 * cv["big"].size for rb in packs[i]["resblocks"] for cv in rb
             )
@@ -110,7 +112,14 @@ def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
                 if wide_split != "none" and wbytes > limit:
                     splits[i] = wide_split
             elif wbytes > limit:
-                splits[i] = "pair" if rb_bytes > limit else "resblock"
+                # 'bin' (round 5) greedily packs resblocks into <=limit
+                # calls — V1 stage-0 goes 3 calls -> 2 (k3+k7 share one);
+                # measured 1.912 vs 1.927 ms B=1 end-to-end vs 'resblock'
+                splits[i] = "pair" if rb_bytes > limit else "bin"
+            # 'bin' greedily packs resblocks under the same limit (fewer
+            # launches than 'resblock'); its per-call weight max is bounded
+            # by the limit itself, which the tile model must respect
+            split_eff_w = limit if splits.get(i) == "bin" else rb_bytes
             if tile_blocks == "auto":
                 # Per-stage time tile: a larger tile cuts halo overcompute
                 # (per-tile compute is tile_b + 2*halo_b — stage 1 runs 25%
@@ -123,7 +132,7 @@ def make_fast_vocoder(h: Any, folded_params: dict, dtype=jnp.bfloat16,
                 # over by 1.16; tile 16384 = same; the round-3 tile 512
                 # always fit). Pick the largest tile that keeps
                 # weights + body under 14 MB.
-                eff_w = rb_bytes if i in splits else wbytes
+                eff_w = split_eff_w if i in splits else wbytes
                 lanes = max(block * ch, 128)
                 tiles[i] = 512
                 # (2048 is the effective ceiling for every shipped config:

@@ -186,6 +186,32 @@ def fused_tail_stage(x: jax.Array, packed: dict, interpret: bool = False,
         assert pre_pack is None, "upsampler folding requires the monolithic form"
         n = len(packed["resblocks"])
         ps = packed["pair_size"]
+        if split == "bin":
+            # greedy-bin resblocks under the VMEM weight limit: fewer kernel
+            # launches than 'resblock' (V1 stage-0: k3+k7 share one call,
+            # k11 its own — 3 calls -> 2) at the same per-call footprint
+            # bound. Each sub-call averages over ITS group, so reweight by
+            # group size before the global /n.
+            limit = 9 * 1024 * 1024
+            groups: list[list] = []
+            gbytes = 0
+            for rb in packed["resblocks"]:
+                rbb = sum(2 * cv["big"].size for cv in rb)
+                if groups and gbytes + rbb <= limit:
+                    groups[-1].append(rb)
+                    gbytes += rbb
+                else:
+                    groups.append([rb])
+                    gbytes = rbb
+            acc = None
+            for grp in groups:
+                sub = {"resblocks": grp, "block": packed["block"],
+                       "pair_size": ps}
+                out = fused_tail_stage(x, sub, interpret=interpret,
+                                       tile_blocks=tile_blocks)
+                out = out * len(grp) if len(grp) != n else out
+                acc = out if acc is None else acc + out
+            return acc / n if len(groups) > 1 else acc
         acc = None
         for rb in packed["resblocks"]:
             if split == "pair" and len(rb) > ps:

@@ -28,7 +28,7 @@ def test_fast_vocoder_matches_generator(version, fold_post):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
 
 
-@pytest.mark.parametrize("wide_split", ["pair", "resblock", "none"])
+@pytest.mark.parametrize("wide_split", ["pair", "resblock", "bin", "none"])
 def test_fast_vocoder_wide_stage0_split_modes(wide_split):
     """V1's 256-ch stage-0 fuses at block=1 (lanes = C = 256); every VMEM
     split granularity matches the reference generator, with the dot-form
