@@ -239,7 +239,11 @@ def bench_b1_serving() -> None:
     acc = step(mel, jnp.zeros(()))
     float(acc)  # compile + warm
 
-    iters = 60  # tunnel-dispatch jitter; 3 windows, best taken
+    # Deep chains: the one host fetch that ends a window costs ~10-15 ms
+    # through the tunnel, so at 60 iters it inflated every per-call time
+    # by ~0.2 ms (bench read 1429x while a 100-iter trace read 1554x).
+    # 240 chained sub-ms calls amortize it to noise and still take <1 s.
+    iters = 240
 
     def window(inp):
         def once():
