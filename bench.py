@@ -193,7 +193,8 @@ def bench_train() -> None:
         state, metrics = compiled(state, batch_d)
     float(metrics["loss_gen_all"])
 
-    iters = 20
+    # 60 chained steps amortize the ~10-15 ms final tunnel fetch to noise
+    iters = 60
     t0 = time.perf_counter()
     for _ in range(iters):
         # state chains through the loop — the final fetch forces every step
@@ -281,7 +282,7 @@ def bench_b1_serving() -> None:
 
 
 def bench_inference_rtf(version: str, batch: int = 128, frames: int = 256,
-                        iters: int = 20) -> float:
+                        iters: int = 60) -> float:
     """Batched mel->wav throughput for one generator variant (folded weight
     norm, bf16). Returns the RTF; the caller emits the JSON line."""
     h = get_config(version)
@@ -375,7 +376,7 @@ def bench_distill_step() -> None:
     state, losses = step(state, batch, jax.random.PRNGKey(1))
     float(losses["total"])  # compile + real fetch
 
-    iters = 10
+    iters = 30  # deep chain: amortizes the final tunnel fetch
     t0 = time.perf_counter()
     for i in range(iters):
         state, losses = step(state, batch, jax.random.PRNGKey(2 + i))
