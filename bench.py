@@ -18,10 +18,13 @@ Method: folded-weight-norm generators, bfloat16 compute (MXU path),
 batch 128 x 256 mel frames. Timing chains each call's output into an
 on-device accumulator and fetches once at the end — block_until_ready alone
 under-reports through the axon tunnel (async completion), so sequential data
-dependency forces real execution. Measured on TPU v5e: V1 ~2644x real-time
-at batch 128; V2 ~14560x; V3 ~11300x; V1 B=1 serving ~1511x (round-4 fast
-path: all MRF stages fused incl. wide stage-0, dot-form upsamplers,
-per-stage auto tiles).
+dependency forces real execution; chains are DEEP (60-240 calls) because the
+one window-end fetch costs ~10-15 ms through the tunnel and must amortize to
+noise. Measured on TPU v5e (round-5 validated full run): V1 ~2664x real-time
+at batch 128; V2 ~16461x; V3 ~11769x; V1 B=1 serving ~1655-1678x (all MRF
+stages fused incl. binned wide stage-0, dot-form upsamplers, per-stage auto
+tiles); streaming 444x/738x at 32/64-frame chunks; V1 train step 63.0 ms;
+distill step 73.6 ms.
 """
 
 from __future__ import annotations
